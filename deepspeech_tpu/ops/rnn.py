@@ -1,0 +1,122 @@
+"""Recurrent cells as XLA scans, replacing the reference's cuDNN RNNs
+(reference model.py:82-109).
+
+Design for TPU:
+* time-major (T, B, F) layout;
+* the input projection for ALL timesteps is one large matmul (MXU-friendly);
+  only the (B, H) @ (H, 3H/4H) hidden matmul runs inside ``lax.scan``;
+* both directions of a bidirectional layer are fused into a single scan with
+  a doubled batch (the backward direction consumes the sequence reversed
+  within each utterance's valid length, reproducing
+  ``pack_padded_sequence``/``pad_packed_sequence`` semantics of
+  reference model.py:103-107);
+* outputs at padded timesteps are zeroed, matching ``pad_packed_sequence``.
+
+Gate math matches torch exactly (gate order r,z,n for GRU; i,f,g,o for LSTM),
+so torch-trained checkpoints can be ported weight-for-weight.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+CELL_GATES = {"gru": 3, "lstm": 4, "rnn": 1}
+
+
+def _gru_step(h, xp, w_hh, b_hh):
+    """xp: precomputed x@W_ih^T + b_ih, (..., 3H); h: (..., H)."""
+    hidden = h.shape[-1]
+    hp = jnp.einsum("...bh,...hg->...bg", h, w_hh) + b_hh[..., None, :]
+    xr, xz, xn = (xp[..., :hidden], xp[..., hidden:2 * hidden],
+                  xp[..., 2 * hidden:])
+    hr, hz, hn = (hp[..., :hidden], hp[..., hidden:2 * hidden],
+                  hp[..., 2 * hidden:])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _lstm_step(state, xp, w_hh, b_hh):
+    h, c = state
+    hidden = h.shape[-1]
+    gates = xp + jnp.einsum("...bh,...hg->...bg", h, w_hh) + b_hh[..., None, :]
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _rnn_step(h, xp, w_hh, b_hh):
+    return jnp.tanh(xp + jnp.einsum("...bh,...hg->...bg", h, w_hh)
+                    + b_hh[..., None, :])
+
+
+def _reverse_in_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse (T, B, ...) along time within each sequence's valid prefix."""
+    t = x.shape[0]
+    ts = jnp.arange(t)[:, None]
+    idx = jnp.where(ts < lengths[None, :], lengths[None, :] - 1 - ts, ts)
+    return jnp.take_along_axis(
+        x, idx.reshape(t, -1, *([1] * (x.ndim - 2))), axis=0)
+
+
+def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
+             b_ih: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+             cell: str = "gru", bidirectional: bool = True,
+             sum_directions: bool = True) -> jnp.ndarray:
+    """Run a (bi)directional recurrent layer.
+
+    x: (T, B, F) time-major input; lengths: (B,) valid steps.
+    Weights are stacked over directions:
+      w_ih: (D, F, G*H), b_ih: (D, G*H), w_hh: (D, H, G*H), b_hh: (D, G*H)
+    with D = 2 if bidirectional else 1, G = gates(cell).
+    Returns (T, B, H) if sum_directions (reference model.py:106-107 sums the
+    two directions) else (T, B, D*H); padded steps are zeros.
+    """
+    gates = CELL_GATES[cell]
+    d = 2 if bidirectional else 1
+    assert w_ih.shape[0] == d
+    hidden = w_hh.shape[1]
+    t, b = x.shape[0], x.shape[1]
+
+    # Input projection for every (direction, timestep) in one matmul.
+    # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
+    xp = jnp.einsum("tbf,dfg->dtbg", x, w_ih,
+                    precision=jax.lax.Precision.DEFAULT) + b_ih[:, None, None, :]
+    if bidirectional:
+        xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
+
+    h0 = jnp.zeros((d, b, hidden), x.dtype)
+    if cell == "lstm":
+        init = (h0, jnp.zeros_like(h0))
+
+        def step(state, xp_t):
+            state = _lstm_step(state, xp_t, w_hh, b_hh)
+            return state, state[0]
+    else:
+        init = h0
+        step_fn = _gru_step if cell == "gru" else _rnn_step
+
+        def step(h, xp_t):
+            h = step_fn(h, xp_t, w_hh, b_hh)
+            return h, h
+
+    # scan over time; both directions ride along in the leading D axis of the
+    # state, so one scan serves the whole layer.
+    _, out = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))  # (T, D, B, H)
+    out = jnp.swapaxes(out, 0, 1)  # (D, T, B, H)
+    if bidirectional:
+        out = out.at[1].set(_reverse_in_length(out[1], lengths))
+
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(x.dtype)
+    out = out * mask[None, :, :, None]
+    if bidirectional and sum_directions:
+        return out[0] + out[1]
+    if bidirectional:
+        return jnp.concatenate([out[0], out[1]], axis=-1)
+    return out[0]

@@ -3,13 +3,22 @@
 Replaces the reference's "launch N ranked processes" non-strategy
 (reference train.py:97-103) with JAX's standard fake-multi-chip mechanism
 so distributed code paths are exercised in CI on CPU.
+
+NOTE: this environment ships an 'axon' TPU PJRT plugin that force-appends
+itself to jax_platforms during registration, overriding JAX_PLATFORMS=cpu.
+We pin the platform via jax.config *after* import, which wins.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
