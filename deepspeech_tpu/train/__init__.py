@@ -1,0 +1,12 @@
+from deepspeech_tpu.train.optim import build_optimizer, get_lr, set_lr
+from deepspeech_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "build_optimizer", "get_lr", "set_lr",
+    "StepConfig", "TrainState", "make_eval_step", "make_train_step",
+]

@@ -1,0 +1,138 @@
+"""Pure jitted train/eval steps.
+
+One compiled program does the whole reference hot loop body
+(reference train.py:555-647) on device: featurize -> forward -> CTC ->
+backward -> clip -> NaN guard -> update, plus the greedy argmax the loop
+needs for curriculum/WER bookkeeping. Only small arrays (loss, argmax ids,
+lengths) come back to host, keeping the curriculum feedback loop off the
+step's critical path (the reference instead decoded on host every batch,
+train.py:575-591).
+
+NaN semantics follow the reference:
+* NaN logits are zeroed before the loss (train.py:595-598);
+* if any logit is NaN the optimizer step is skipped (train.py:625-630);
+* the inf->1000 loss clamp for *reporting* happens host-side (train.py:609-611).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepspeech_tpu.audio.features import AudioConf, featurize_batch
+from deepspeech_tpu.ops.ctc import ctc_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables, tx):
+        return cls(params=variables["params"],
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(variables["params"]),
+                   step=jnp.zeros((), jnp.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    audio_conf: AudioConf = AudioConf()
+    normalize: str = "max_frame"
+    from_audio: bool = True      # batch carries raw audio (device featurize)
+    stft_method: str = "matmul"
+    max_frame_jitter: bool = True  # reference data_loader_aug.py:213-214
+
+
+def _featurize(batch, cfg: StepConfig, rng, train: bool):
+    if cfg.from_audio:
+        jitter = None
+        if train and cfg.max_frame_jitter and rng is not None:
+            jitter = jax.random.uniform(
+                rng, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
+        return featurize_batch(batch["audio"], batch["audio_lengths"],
+                               cfg.audio_conf, cfg.normalize,
+                               method=cfg.stft_method, jitter=jitter)
+    return batch["spect"], batch["spect_lengths"]
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    cfg: StepConfig = StepConfig(),
+                    donate: bool = True) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch dict: audio (B,S) + audio_lengths (B,) [or spect/spect_lengths],
+    targets (B,L), target_lengths (B,). metrics: loss (reporting semantics),
+    per-sample losses, greedy ids + lengths for host decode, grad-norm,
+    step_skipped flag.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng, spect, spect_lengths):
+        (logits, probs, out_lens), updated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            spect, spect_lengths, True, mutable=["batch_stats"])
+        logits_has_nan = jnp.isnan(logits).any()
+        logits = jnp.where(jnp.isnan(logits), 0.0, logits)
+        per_sample = ctc_loss(logits, out_lens, batch["targets"],
+                              batch["target_lengths"])
+        finite = jnp.isfinite(per_sample)
+        loss = jnp.where(finite, per_sample, 0.0).sum() / logits.shape[0]
+        aux = dict(batch_stats=updated["batch_stats"],
+                   per_sample=per_sample, logits_has_nan=logits_has_nan,
+                   greedy=jnp.argmax(logits, -1).astype(jnp.int32),
+                   out_lens=out_lens)
+        return loss, aux
+
+    def train_step(state: TrainState, batch, rng):
+        spect, spect_lengths = _featurize(batch, cfg, rng, train=True)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, spect, spect_lengths)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # reference skips the optimizer step on NaN logits (train.py:625-630);
+        # we extend the guard to non-finite grads (same intent, stronger)
+        grads_ok = jnp.logical_and(
+            jnp.logical_not(aux["logits_has_nan"]),
+            jnp.isfinite(optax.global_norm(grads)))
+        take = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(grads_ok, n, o), new, old)
+        state = TrainState(
+            params=take(new_params, state.params),
+            batch_stats=aux["batch_stats"],
+            opt_state=take(new_opt, state.opt_state),
+            step=state.step + 1)
+        metrics = dict(loss=loss, per_sample=aux["per_sample"],
+                       greedy=aux["greedy"], out_lens=aux["out_lens"],
+                       grad_norm=optax.global_norm(grads),
+                       step_skipped=jnp.logical_not(grads_ok))
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: StepConfig = StepConfig()) -> Callable:
+    """eval_step(state, batch) -> metrics with loss + greedy ids + probs."""
+
+    def eval_step(state: TrainState, batch):
+        spect, spect_lengths = _featurize(batch, cfg, rng=None, train=False)
+        logits, probs, out_lens = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            spect, spect_lengths, False)
+        per_sample = ctc_loss(logits, out_lens, batch["targets"],
+                              batch["target_lengths"])
+        finite = jnp.isfinite(per_sample)
+        loss = jnp.where(finite, per_sample, 0.0).sum() / logits.shape[0]
+        return dict(loss=loss, per_sample=per_sample,
+                    greedy=jnp.argmax(logits, -1).astype(jnp.int32),
+                    out_lens=out_lens, probs=probs)
+
+    return jax.jit(eval_step)
