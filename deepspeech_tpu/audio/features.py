@@ -240,11 +240,17 @@ def normalize_spectrogram_batch(spect: jnp.ndarray, frame_lengths: jnp.ndarray,
 def featurize_batch(audio: jnp.ndarray, audio_lengths: jnp.ndarray,
                     conf: AudioConf, normalize: str = "max_frame",
                     method: str = "matmul",
-                    jitter: jnp.ndarray | None = None):
+                    jitter: jnp.ndarray | None = None,
+                    aug_key=None):
     """Padded waveforms -> normalized spectrograms, fully on device.
 
     audio: (B, S) reflect-padding NOT applied (done here); audio_lengths: (B,)
     valid sample counts. Returns (spect (B, 161, T), frame_lengths (B,)).
+
+    ``aug_key`` enables the on-device spectrogram augs (SpecAugment masks +
+    8 kHz band-zero) with the probabilities carried in ``conf``, applied to
+    the magnitude before normalization — the reference's order
+    (data_loader_aug.py:241-248 inside audio_to_stft, before normalize_audio).
 
     Note: reflect padding at the utterance end uses the batch-padded edge
     rather than each utterance's own edge; the affected frames are the final
@@ -263,6 +269,11 @@ def featurize_batch(audio: jnp.ndarray, audio_lengths: jnp.ndarray,
     else:
         mag = mag[..., :N_BINS, :]
     frame_lengths = 1 + audio_lengths // conf.hop
+    if aug_key is not None and (conf.aug_prob_spect > 0 or conf.aug_prob_8khz > 0):
+        from deepspeech_tpu.augment.spectrogram import band_zero_8khz, spec_augment
+        k_spec, k_8k = jax.random.split(aug_key)
+        mag = spec_augment(mag, frame_lengths, k_spec, conf.aug_prob_spect)
+        mag = band_zero_8khz(mag, k_8k, conf.aug_prob_8khz)
     spect = normalize_spectrogram_batch(mag, frame_lengths, normalize)
     if jitter is not None and normalize == "max_frame":
         mask = (jnp.arange(spect.shape[-1])[None, :]

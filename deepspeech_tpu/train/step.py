@@ -55,13 +55,16 @@ class StepConfig:
 
 def _featurize(batch, cfg: StepConfig, rng, train: bool):
     if cfg.from_audio:
-        jitter = None
-        if train and cfg.max_frame_jitter and rng is not None:
-            jitter = jax.random.uniform(
-                rng, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
+        jitter = aug_key = None
+        if train and rng is not None:
+            k_jit, aug_key = jax.random.split(rng)
+            if cfg.max_frame_jitter:
+                jitter = jax.random.uniform(
+                    k_jit, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
         return featurize_batch(batch["audio"], batch["audio_lengths"],
                                cfg.audio_conf, cfg.normalize,
-                               method=cfg.stft_method, jitter=jitter)
+                               method=cfg.stft_method, jitter=jitter,
+                               aug_key=aug_key)
     return batch["spect"], batch["spect_lengths"]
 
 
