@@ -1,0 +1,155 @@
+"""Batch assembly + prefetching loader with XLA-static bucket shapes.
+
+The reference collates by padding to the longest sample in each batch
+(reference data_loader_aug.py:523-548) — fine for eager PyTorch, hostile to
+XLA where every new shape is a recompile. Here every batch is padded up to a
+*bucket boundary*: audio lengths to a multiple of ``audio_step`` samples
+(default 1 s), target lengths to a multiple of ``target_step``, and the batch
+dimension to exactly ``batch_size`` (short final bins get zero samples with
+``valid=0``). With 15 s max utterances this bounds the compile cache to a
+few dozen programs total.
+
+Absolute lengths are carried directly (the compiled step masks with them);
+the reference's ``input_percentages`` indirection (data_loader_aug.py:544,
+train.py:557) is unnecessary when lengths are first-class.
+
+Loading is overlapped with device compute by a thread pool (wav read + augs
+are I/O and BLAS/FFT work that release the GIL) and a bounded prefetch
+queue — the role DataLoader workers played in the reference
+(train.py:664-667), without process spawn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Static-shape padding policy."""
+    audio_step: int = 16000     # samples; pad S to a multiple (1 s @ 16 kHz)
+    frame_step: int = 100       # frames;  pad T to a multiple (1 s of frames)
+    target_step: int = 50       # label ids; pad L to a multiple
+    min_target: int = 50
+
+    def pad_to(self, n: int, step: int, lo: int = 0) -> int:
+        return max(lo, step * -(-max(n, 1) // step))
+
+
+def collate_batch(samples: list[dict], batch_size: int | None = None,
+                  bucket: BucketSpec = BucketSpec()) -> dict:
+    """samples: dataset dicts with 'audio' or 'spect', 'target', 'path'.
+
+    Returns numpy batch dict: audio (B,S)+audio_lengths or
+    spect (B,161,T)+spect_lengths, targets (B,L), target_lengths, valid (B,),
+    paths (list). B == batch_size (padded rows have valid=0).
+    """
+    n = len(samples)
+    b = batch_size or n
+    has_audio = "audio" in samples[0]
+
+    tmax = max(len(s["target"]) for s in samples)
+    l_pad = bucket.pad_to(tmax, bucket.target_step, bucket.min_target)
+    targets = np.zeros((b, l_pad), np.int32)
+    target_lengths = np.zeros(b, np.int32)
+    valid = np.zeros(b, np.float32)
+    paths = [s["path"] for s in samples] + [""] * (b - n)
+
+    batch = {}
+    if has_audio:
+        smax = max(s["audio"].shape[0] for s in samples)
+        s_pad = bucket.pad_to(smax, bucket.audio_step)
+        audio = np.zeros((b, s_pad), np.float32)
+        audio_lengths = np.full(b, 1, np.int32)  # dummy rows: 1 sample
+        for i, s in enumerate(samples):
+            audio[i, : s["audio"].shape[0]] = s["audio"]
+            audio_lengths[i] = s["audio"].shape[0]
+        batch["audio"], batch["audio_lengths"] = audio, audio_lengths
+    else:
+        fmax = max(s["spect"].shape[1] for s in samples)
+        t_pad = bucket.pad_to(fmax, bucket.frame_step)
+        spect = np.zeros((b, samples[0]["spect"].shape[0], t_pad), np.float32)
+        spect_lengths = np.full(b, 1, np.int32)
+        for i, s in enumerate(samples):
+            spect[i, :, : s["spect"].shape[1]] = s["spect"]
+            spect_lengths[i] = s["spect"].shape[1]
+        batch["spect"], batch["spect_lengths"] = spect, spect_lengths
+
+    for i, s in enumerate(samples):
+        t = s["target"][:l_pad]
+        targets[i, : len(t)] = t
+        target_lengths[i] = len(t)
+        valid[i] = 1.0
+
+    batch.update(targets=targets, target_lengths=target_lengths, valid=valid,
+                 paths=paths)
+    return batch
+
+
+class AudioDataLoader:
+    """Iterates a sampler's index bins over a dataset with threaded loading
+    and bounded prefetch. One pass = one epoch slice (supports ``start_bin``
+    for mid-epoch resume, reference train.py:658)."""
+
+    def __init__(self, dataset, sampler, batch_size: int | None = None,
+                 bucket: BucketSpec = BucketSpec(), num_workers: int = 4,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.bucket = bucket
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def _load_bin(self, pool, ids):
+        samples = list(pool.map(self.dataset.__getitem__, ids))
+        return collate_batch(samples, self.batch_size, self.bucket)
+
+    def iter_from(self, start_bin: int = 0):
+        bins = list(self.sampler)[start_bin:]
+        if not bins:
+            return
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for ids in bins:
+                    if stop.is_set():
+                        break
+                    try:
+                        out.put(("ok", self._load_bin(pool, ids)))
+                    except Exception as e:  # surface worker errors in-line
+                        out.put(("err", e))
+                        break
+            out.put(("end", None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, item = out.get()
+                if kind == "end":
+                    break
+                if kind == "err":
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)
+
+    def __iter__(self):
+        return self.iter_from(0)

@@ -87,8 +87,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
         logits = jnp.where(jnp.isnan(logits), 0.0, logits)
         per_sample = ctc_loss(logits, out_lens, batch["targets"],
                               batch["target_lengths"])
-        finite = jnp.isfinite(per_sample)
-        loss = jnp.where(finite, per_sample, 0.0).sum() / logits.shape[0]
+        # `valid` masks bucket-padding rows (short final bins); reference
+        # semantics divide by the real sample count (train.py:600-601)
+        valid = batch.get("valid", jnp.ones(logits.shape[0], jnp.float32))
+        finite = jnp.isfinite(per_sample) & (valid > 0)
+        loss = (jnp.where(finite, per_sample, 0.0).sum()
+                / jnp.maximum(valid.sum(), 1.0))
         aux = dict(batch_stats=updated["batch_stats"],
                    per_sample=per_sample, logits_has_nan=logits_has_nan,
                    greedy=jnp.argmax(logits, -1).astype(jnp.int32),
@@ -132,8 +136,10 @@ def make_eval_step(model, cfg: StepConfig = StepConfig()) -> Callable:
             spect, spect_lengths, False)
         per_sample = ctc_loss(logits, out_lens, batch["targets"],
                               batch["target_lengths"])
-        finite = jnp.isfinite(per_sample)
-        loss = jnp.where(finite, per_sample, 0.0).sum() / logits.shape[0]
+        valid = batch.get("valid", jnp.ones(logits.shape[0], jnp.float32))
+        finite = jnp.isfinite(per_sample) & (valid > 0)
+        loss = (jnp.where(finite, per_sample, 0.0).sum()
+                / jnp.maximum(valid.sum(), 1.0))
         return dict(loss=loss, per_sample=per_sample,
                     greedy=jnp.argmax(logits, -1).astype(jnp.int32),
                     out_lens=out_lens, probs=probs)
