@@ -1,0 +1,158 @@
+"""DeepSpeech2 acoustic model (flax.linen), TPU-first.
+
+Architecture parity with the reference DS2 branch (model.py:183-380):
+* masked 2-D conv stack: Conv(1->32, k=(41,11), s=(2,2), p=(20,5)) + BN +
+  Hardtanh(0,20); Conv(32->32, k=(21,11), s=(2,1), p=(10,5)) + BN +
+  Hardtanh(0,20); activations re-zeroed past each utterance's valid frames
+  after every stage (MaskConv, model.py:52-79);
+* frequency collapse to a 1312-feature sequence, time-major;
+* N recurrent layers (GRU/LSTM/RNN), bidirectional direction-sum, per-layer
+  sequence BatchNorm except layer 0 (BatchRNN, model.py:82-109, 318-327);
+* unidirectional models append a Lookahead conv + Hardtanh (model.py:329-333);
+* head: BatchNorm + Linear(H -> num_classes, no bias) per timestep
+  (model.py:335-341);
+* returns (logits (B,T,C), probs=softmax (B,T,C), output_lengths) like
+  reference forward (model.py:343-380).
+
+The convs and the per-step recurrent matmuls run on the MXU; masking and
+activations fuse into them under XLA. Output lengths follow the conv time
+arithmetic of get_seq_lens (model.py:382-393): T' = floor((T-1)/2) + 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepspeech_tpu.models.layers import (
+    Lookahead,
+    TorchBatchNorm,
+    hardtanh_0_20,
+    length_mask,
+)
+from deepspeech_tpu.ops.rnn import CELL_GATES, rnn_scan
+
+N_BINS = 161
+
+
+def conv_out_lengths(lengths: jnp.ndarray) -> jnp.ndarray:
+    """Time-length arithmetic of the DS2 conv stack (model.py:382-393):
+    conv1 stride-2 -> floor((L-1)/2)+1; conv2 stride-1 same-length."""
+    return (lengths - 1) // 2 + 1
+
+
+def conv_out_frames(t: int) -> int:
+    return (t - 1) // 2 + 1
+
+
+class RecurrentLayer(nn.Module):
+    """BatchRNN equivalent: optional sequence BN + (bi)RNN with direction sum."""
+
+    input_size: int
+    hidden_size: int
+    cell: str = "gru"
+    bidirectional: bool = True
+    batch_norm: bool = True
+    bnm: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        # x: (T, B, F). BN flattens (T*B, F) with padding rows included,
+        # exactly like SequenceWise (model.py:28-43).
+        if self.batch_norm:
+            x = TorchBatchNorm(momentum=self.bnm, name="bn")(x, train)
+        d = 2 if self.bidirectional else 1
+        g = CELL_GATES[self.cell]
+        h = self.hidden_size
+        stdv = 1.0 / (h ** 0.5)
+
+        def uniform(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -stdv, stdv)
+
+        w_ih = self.param("w_ih", uniform, (d, self.input_size, g * h))
+        b_ih = self.param("b_ih", uniform, (d, g * h))
+        w_hh = self.param("w_hh", uniform, (d, h, g * h))
+        b_hh = self.param("b_hh", uniform, (d, g * h))
+        return rnn_scan(x, lengths, w_ih, b_ih, w_hh, b_hh, cell=self.cell,
+                        bidirectional=self.bidirectional, sum_directions=True)
+
+
+class ConvFrontend(nn.Module):
+    """Masked 2-conv front (MaskConv stack, model.py:208-215)."""
+
+    bnm: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, out_lengths: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        # x: (B, 161, T) -> NHWC (B, freq, time, 1)
+        x = x[..., None]
+        specs = [
+            dict(features=32, kernel_size=(41, 11), strides=(2, 2),
+                 padding=((20, 20), (5, 5))),
+            dict(features=32, kernel_size=(21, 11), strides=(2, 1),
+                 padding=((10, 10), (5, 5))),
+        ]
+        for i, spec in enumerate(specs):
+            x = nn.Conv(**spec, use_bias=True, name=f"conv{i}")(x)
+            mask = length_mask(out_lengths, x.shape[2], x.dtype)[:, None, :, None]
+            x = x * mask
+            x = TorchBatchNorm(momentum=self.bnm, name=f"bn{i}")(x, train)
+            x = x * mask
+            x = hardtanh_0_20(x)
+            # hardtanh(0) == 0, but keep the re-mask for exact MaskConv parity
+            x = x * mask
+        return x  # (B, 41, T', 32)
+
+
+class DeepSpeech2(nn.Module):
+    """The DS2 conv+RNN acoustic model."""
+
+    num_classes: int
+    hidden_size: int = 800
+    hidden_layers: int = 6
+    cell: str = "gru"
+    bidirectional: bool = True
+    context: int = 20
+    bnm: float = 0.1
+    sample_rate: int = 16000
+    window_size: float = 0.02
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, spect: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool = False):
+        """spect: (B, 161, T) normalized log-spectrogram; lengths: (B,) valid
+        frame counts. Returns (logits (B,T',C), probs, output_lengths)."""
+        out_lengths = conv_out_lengths(lengths)
+        x = spect.astype(self.compute_dtype)
+        x = ConvFrontend(bnm=self.bnm, name="conv")(x, out_lengths, train)
+
+        # collapse freq: (B, F=41, T', C=32) -> feature index c*41+f for
+        # weight-porting parity with the reference's view() (model.py:360-362)
+        b, f, t, c = x.shape
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c * f, t)
+        x = jnp.transpose(x, (2, 0, 1))  # (T', B, 1312) time-major
+
+        rnn_input = c * f
+        for i in range(self.hidden_layers):
+            x = RecurrentLayer(
+                input_size=rnn_input if i == 0 else self.hidden_size,
+                hidden_size=self.hidden_size, cell=self.cell,
+                bidirectional=self.bidirectional, batch_norm=i > 0,
+                bnm=self.bnm, name=f"rnn{i}")(x, out_lengths, train)
+
+        if not self.bidirectional:
+            x = Lookahead(self.hidden_size, self.context, name="lookahead")(x)
+            x = hardtanh_0_20(x)
+
+        x = TorchBatchNorm(momentum=self.bnm, name="fc_bn")(x, train)
+        x = nn.Dense(self.num_classes, use_bias=False, name="fc")(x)
+
+        logits = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # (B, T', C)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return logits, probs, out_lengths

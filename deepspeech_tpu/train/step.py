@@ -82,7 +82,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
     def loss_fn(params, batch_stats, batch, rng, spect, spect_lengths):
         (logits, probs, out_lens), updated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            spect, spect_lengths, True, mutable=["batch_stats"])
+            spect, spect_lengths, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(rng, 1)})
         logits_has_nan = jnp.isnan(logits).any()
         logits = jnp.where(jnp.isnan(logits), 0.0, logits)
         per_sample = ctc_loss(logits, out_lens, batch["targets"],
