@@ -1,0 +1,380 @@
+"""Training CLI: the reference ``python train.py`` surface (train.py:27-107)
+re-architected TPU-first.
+
+One jitted SPMD program per length bucket executes the whole batch body
+(featurize -> forward -> CTC -> backward -> clip -> guarded update) on
+device; the host loop only feeds bucketed batches, decodes greedy ids for
+curriculum/metrics, anneals the LR, and writes checkpoints. Multi-device =
+mesh data parallelism (no DDP processes); multi-host = per-host manifest
+shards assembled with jax.make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeepSpeech-TPU training")
+    # data
+    p.add_argument("--train-manifest", default="data/train_manifest.csv")
+    p.add_argument("--val-manifest", default="data/val_manifest.csv")
+    p.add_argument("--train-val-manifest", default="",
+                   help="held-out slice of train data for quality tracking")
+    p.add_argument("--cache-dir", default="data/cache/")
+    p.add_argument("--curriculum", default="", help="path to curriculum csv")
+    p.add_argument("--use-curriculum", action="store_true", default=False)
+    p.add_argument("--curriculum-ratio", default=0.5, type=float)
+    p.add_argument("--sample-rate", default=16000, type=int)
+    p.add_argument("--batch-size", default=20, type=int)
+    p.add_argument("--val-batch-size", default=20, type=int)
+    p.add_argument("--num-workers", default=4, type=int)
+    p.add_argument("--labels-path", default="labels.json")
+    p.add_argument("--window-size", default=0.02, type=float)
+    p.add_argument("--window-stride", default=0.01, type=float)
+    p.add_argument("--window", default="hamming")
+    p.add_argument("--norm", default="max_frame",
+                   help='normalization: "mean","norm","frame","max_frame","none"')
+    # model
+    p.add_argument("--hidden-size", default=800, type=int)
+    p.add_argument("--hidden-layers", default=6, type=int)
+    p.add_argument("--rnn-type", default="gru",
+                   help="rnn|gru|lstm|cnn|cnn_residual|glu_small|glu_large|"
+                        "large_cnn|cnn_jasper")
+    p.add_argument("--cnn-width", default=256, type=int)
+    p.add_argument("--dropout", default=0, type=float)
+    p.add_argument("--no-bidirectional", dest="bidirectional",
+                   action="store_false", default=True)
+    p.add_argument("--batch-norm-momentum", default=0.1, type=float)
+    # optimization
+    p.add_argument("--epochs", default=70, type=int)
+    p.add_argument("--lr", "--learning-rate", default=3e-4, type=float)
+    p.add_argument("--optimizer", default="sgd", help="sgd or adam")
+    p.add_argument("--weight-decay", default=0, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--max-norm", default=100, type=float,
+                   help="gradient norm clip")
+    p.add_argument("--learning-anneal", default=1.1, type=float)
+    p.add_argument("--checkpoint-anneal", default=1.0, type=float)
+    p.add_argument("--silent", action="store_true")
+    # checkpointing
+    p.add_argument("--checkpoint", action="store_true",
+                   help="save a checkpoint every epoch")
+    p.add_argument("--checkpoint-per-samples", default=0, type=int)
+    p.add_argument("--save-folder", default="models/")
+    p.add_argument("--continue-from", default="")
+    p.add_argument("--finetune", action="store_true")
+    # augmentation
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--noise-dir", default=None)
+    p.add_argument("--noise-prob", default=0.4, type=float)
+    p.add_argument("--noise-min", default=0.0, type=float)
+    p.add_argument("--noise-max", default=0.5, type=float)
+    p.add_argument("--aug-prob-8khz", default=0, type=float)
+    p.add_argument("--aug-prob-spect", default=0, type=float)
+    # sampling
+    p.add_argument("--no-shuffle", action="store_true")
+    p.add_argument("--no-sortaGrad", dest="no_sorta_grad",
+                   action="store_true")
+    # observability
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--log-dir", default="visualize/deepspeech_final")
+    p.add_argument("--log-params", action="store_true")
+    p.add_argument("--id", default="Deepspeech training")
+    p.add_argument("--seed", default=123456, type=int)
+    # device/bucketing
+    p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
+                   help="audio padding granularity (static XLA shapes)")
+    p.add_argument("--max-items", default=0, type=int,
+                   help="truncate manifests (debug)")
+    return p
+
+
+def audio_conf_from_args(args, train: bool):
+    from deepspeech_tpu.audio import AudioConf
+    return AudioConf(
+        sample_rate=args.sample_rate, window_size=args.window_size,
+        window_stride=args.window_stride, window=args.window,
+        noise_dir=args.noise_dir if train else None,
+        noise_prob=args.noise_prob if train else 0,
+        noise_levels=(args.noise_min, args.noise_max),
+        aug_prob_8khz=args.aug_prob_8khz if train else 0,
+        aug_prob_spect=args.aug_prob_spect if train else 0)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.data import (AudioDataLoader, AudioDataset,
+                                     BucketingSampler, BucketSpec,
+                                     DistributedBucketingSampler)
+    from deepspeech_tpu.decoders import GreedyDecoder
+    from deepspeech_tpu.models import build_model, model_from_meta
+    from deepspeech_tpu.parallel import (batch_sharding, local_batch_to_global,
+                                         make_mesh, replicated)
+    from deepspeech_tpu.text.labels import Labels, load_labels
+    from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
+                                      get_lr, make_eval_step, make_train_step,
+                                      set_lr)
+    from deepspeech_tpu.train import checkpoint as ckpt
+    from deepspeech_tpu.train.evaluate import decode_batch_greedy, evaluate
+    from deepspeech_tpu.utils import AverageMeter, MetricsLogger, StopWatch
+
+    is_leader = jax.process_index() == 0
+    world = jax.process_count()
+
+    def say(*a):
+        if is_leader and not args.silent:
+            print(*a, flush=True)
+
+    # -- config / resume ------------------------------------------------------
+    package = None
+    if args.continue_from:
+        package = ckpt.load(args.continue_from)
+        labels_str = package["labels"]
+        audio_conf = AudioConf.from_dict(package["audio_conf"])
+        say(f"Resuming from {args.continue_from} "
+            f"(epoch {package.get('epoch', 0)})")
+    else:
+        labels_str = load_labels(args.labels_path)
+        audio_conf = audio_conf_from_args(args, train=True)
+    labels = Labels(labels_str)
+    # augs zeroed for eval datasets (reference train.py:912-915)
+    test_conf = AudioConf.from_dict({**audio_conf.to_dict(), "noise_dir": None,
+                                     "noise_prob": 0, "aug_prob_8khz": 0,
+                                     "aug_prob_spect": 0})
+
+    if package is not None:
+        model = model_from_meta(package)
+        meta = {k: package[k] for k in
+                ("rnn_type", "num_classes", "hidden_size", "hidden_layers",
+                 "bidirectional", "bnm", "cnn_width", "dropout", "context")
+                if k in package}
+    else:
+        model, meta = build_model(
+            rnn_type=args.rnn_type, num_classes=len(labels.labels),
+            hidden_size=args.hidden_size, hidden_layers=args.hidden_layers,
+            bidirectional=args.bidirectional, bnm=args.batch_norm_momentum,
+            cnn_width=args.cnn_width, dropout=args.dropout,
+            sample_rate=audio_conf.sample_rate,
+            window_size=audio_conf.window_size)
+
+    tx = build_optimizer(args.optimizer, lr=args.lr, momentum=args.momentum,
+                         weight_decay=args.weight_decay,
+                         max_norm=args.max_norm)
+
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           jnp.zeros((1, 161, 51)), jnp.asarray([51]), False)
+    state = TrainState.create(variables, tx)
+    start_epoch = start_iter = checkpoint_id = 0
+    best_quality = None
+    if package is not None:
+        if args.finetune:
+            state = ckpt.restore_params_only(package, state)
+        else:
+            state = ckpt.restore_state(package, state)
+            start_epoch = max(package.get("epoch", 1) - 1, 0)
+            start_iter = package.get("iteration") or 0
+            checkpoint_id = package.get("checkpoint") or 0
+            if start_iter == 0:
+                start_epoch += 0 if package.get("mid_epoch") else 0
+
+    # -- data -----------------------------------------------------------------
+    max_items = args.max_items or None
+    train_dataset = AudioDataset(
+        audio_conf, args.train_manifest, labels, normalize=args.norm,
+        augment=args.augment, max_items=max_items,
+        curriculum_filepath=args.curriculum or None, seed=args.seed)
+    val_dataset = AudioDataset(test_conf, args.val_manifest, labels,
+                               normalize=args.norm, max_items=max_items)
+    trainval_dataset = None
+    if args.train_val_manifest:
+        trainval_dataset = AudioDataset(test_conf, args.train_val_manifest,
+                                        labels, normalize=args.norm,
+                                        max_items=max_items)
+
+    bucket = BucketSpec(audio_step=int(audio_conf.sample_rate
+                                       * args.bucket_audio_seconds))
+    val_sampler = BucketingSampler(len(val_dataset), args.val_batch_size)
+    val_loader = AudioDataLoader(val_dataset, val_sampler,
+                                 args.val_batch_size, bucket,
+                                 args.num_workers)
+    trainval_loader = None
+    if trainval_dataset is not None:
+        tv_sampler = BucketingSampler(len(trainval_dataset),
+                                      args.val_batch_size)
+        trainval_loader = AudioDataLoader(trainval_dataset, tv_sampler,
+                                          args.val_batch_size, bucket,
+                                          args.num_workers)
+
+    # -- device placement -----------------------------------------------------
+    n_devices = len(jax.devices())
+    mesh = make_mesh(data=n_devices, model=1) if n_devices > 1 else None
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    def to_device(batch):
+        batch = {k: v for k, v in batch.items() if k != "paths"}
+        if world > 1:
+            return local_batch_to_global(batch, mesh)
+        if mesh is not None:
+            return {k: jax.device_put(v, batch_sharding(mesh))
+                    for k, v in batch.items()}
+        return batch
+
+    cfg = StepConfig(audio_conf=audio_conf, normalize=args.norm)
+    eval_cfg = StepConfig(audio_conf=test_conf, normalize=args.norm)
+    train_step = make_train_step(model, tx, cfg)
+    eval_step_fn = make_eval_step(model, eval_cfg)
+
+    def eval_step(s, batch):
+        return eval_step_fn(s, to_device(batch))
+
+    decoder = GreedyDecoder(labels.labels)
+    logger = MetricsLogger(args.log_dir if (args.tensorboard or True) else None,
+                           run_id=args.id.replace(" ", "_"),
+                           tensorboard=args.tensorboard, enabled=is_leader)
+    os.makedirs(args.save_folder, exist_ok=True)
+
+    global_batch = args.batch_size
+    per_host_batch = max(global_batch // world, 1)
+    rng = jax.random.PRNGKey(args.seed)
+
+    def save_package(path, epoch=None, iteration=None, avg_loss=None):
+        if not is_leader:
+            return
+        host_state = jax.device_get(state)
+        pkg = ckpt.serialize(meta, host_state, labels.labels,
+                             audio_conf.to_dict(), epoch=epoch,
+                             iteration=iteration, checkpoint=checkpoint_id,
+                             avg_loss=avg_loss)
+        ckpt.save(path, pkg)
+        train_dataset.save_curriculum(path + ".curriculum.csv")
+        logger.log("checkpoint", path=path, epoch=epoch, iteration=iteration)
+        say(f"  saved {path}")
+
+    def run_validation(epoch, tag="val"):
+        summary = evaluate(val_loader, eval_step, state, decoder, labels)
+        say(f"[{tag}] epoch {epoch + 1}: loss {summary['loss']:.3f} "
+            f"WER {summary['wer']:.2f} CER {summary['cer']:.2f} "
+            f"(utt-avg {summary['utt_wer']:.2f}/{summary['utt_cer']:.2f})")
+        logger.log(tag, step=epoch, **summary)
+        if trainval_loader is not None:
+            tv = evaluate(trainval_loader, eval_step, state, decoder, labels,
+                          dataset=trainval_dataset, update_curriculum=True)
+            say(f"[trainval] epoch {epoch + 1}: WER {tv['wer']:.2f} "
+                f"CER {tv['cer']:.2f}")
+            logger.log("trainval", step=epoch, **tv)
+        return summary
+
+    samples_since_ckpt = 0
+    for epoch in range(start_epoch, args.epochs):
+        train_dataset.set_curriculum_epoch(epoch, sample=args.use_curriculum,
+                                           sample_size=args.curriculum_ratio)
+        if world > 1:
+            sampler = DistributedBucketingSampler(
+                len(train_dataset), per_host_batch, num_replicas=world,
+                rank=jax.process_index())
+        else:
+            sampler = BucketingSampler(len(train_dataset), per_host_batch)
+        # SortaGrad: no shuffle on epoch 0 (reference train.py:89-94, 669-671)
+        if not args.no_shuffle and (epoch > 0 or args.no_sorta_grad):
+            sampler.shuffle(epoch)
+        loader = AudioDataLoader(train_dataset, sampler, per_host_batch,
+                                 bucket, args.num_workers)
+
+        loss_meter = AverageMeter()
+        watch = StopWatch()
+        epoch_t0 = time.perf_counter()
+        it = start_iter
+        start_iter = 0
+        for batch in loader.iter_from(it):
+            watch.mark_data()
+            paths = batch.get("paths")
+            rng, step_key = jax.random.split(rng)
+            state, m = train_step(state, to_device(batch), step_key)
+            loss = float(m["loss"])
+            if not np.isfinite(loss):
+                loss = 1000.0  # reporting clamp (reference train.py:609-611)
+            n_valid = int(np.asarray(batch["valid"]).sum())
+            loss_meter.update(loss, n_valid)
+            # per-batch greedy decode feeds the curriculum + live WER/CER
+            # (reference train.py:575-591) — ids already argmaxed on device
+            results = decode_batch_greedy(decoder, m, batch, labels)
+            for i, (tr, ref, w, c, wr, cr) in enumerate(results):
+                train_dataset.update_curriculum(paths[i], ref, tr, None,
+                                                c / cr, w / wr)
+            watch.mark_batch()
+            if it % 10 == 0:
+                mean_wer = float(np.mean([w / wr for _, _, w, _, wr, _
+                                          in results])) if results else 0.0
+                say(f"epoch {epoch + 1} iter {it + 1}/{len(loader)} "
+                    f"loss {loss:.3f} (avg {loss_meter.avg:.3f}) "
+                    f"wer {100 * mean_wer:.1f} "
+                    f"batch {watch.batch_time.avg:.2f}s "
+                    f"data {watch.data_time.avg:.2f}s "
+                    f"lr {get_lr(jax.device_get(state.opt_state)):.2e}")
+                logger.log("train", step=epoch * len(loader) + it,
+                           loss=loss, avg_loss=loss_meter.avg,
+                           skipped=bool(m["step_skipped"]))
+            if args.log_params and it % 100 == 0 and is_leader:
+                logger.log_params(jax.device_get(state.params),
+                                  float(m["grad_norm"]),
+                                  epoch * len(loader) + it)
+            it += 1
+            samples_since_ckpt += n_valid
+            if (args.checkpoint_per_samples
+                    and samples_since_ckpt >= args.checkpoint_per_samples):
+                checkpoint_id += 1
+                save_package(os.path.join(
+                    args.save_folder,
+                    f"deepspeech_checkpoint_{checkpoint_id:04d}.ckpt"),
+                    epoch=epoch, iteration=it, avg_loss=loss_meter.avg)
+                run_validation(epoch, tag="val_checkpoint")
+                samples_since_ckpt = 0
+                if args.checkpoint_anneal != 1.0:
+                    opt = jax.device_get(state.opt_state)
+                    new_lr = get_lr(opt) / args.checkpoint_anneal
+                    state = state.replace(opt_state=set_lr(opt, new_lr))
+                    say(f"  checkpoint anneal -> lr {new_lr:.2e}")
+
+        epoch_time = time.perf_counter() - epoch_t0
+        say(f"epoch {epoch + 1} done in {epoch_time:.1f}s "
+            f"avg loss {loss_meter.avg:.3f}")
+        logger.log("epoch", step=epoch, loss=loss_meter.avg,
+                   seconds=epoch_time)
+
+        summary = run_validation(epoch)
+
+        if args.checkpoint:
+            save_package(os.path.join(args.save_folder,
+                                      f"deepspeech_epoch_{epoch + 1:03d}.ckpt"),
+                         epoch=epoch, iteration=0, avg_loss=loss_meter.avg)
+        # anneal LR per epoch (reference train.py:746-767)
+        opt = jax.device_get(state.opt_state)
+        new_lr = get_lr(opt) / args.learning_anneal
+        state = state.replace(opt_state=set_lr(opt, new_lr))
+        say(f"  learning rate annealed -> {new_lr:.2e}")
+        # best model by WER+CER (reference train.py:769-787)
+        quality = summary["wer"] + summary["cer"]
+        if best_quality is None or quality < best_quality:
+            best_quality = quality
+            save_package(os.path.join(args.save_folder, "best_model.ckpt"),
+                         epoch=epoch, iteration=0, avg_loss=loss_meter.avg)
+
+    save_package(os.path.join(args.save_folder, "deepspeech_final.ckpt"),
+                 epoch=args.epochs - 1, iteration=0)
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,81 @@
+"""Shared evaluation loop: model quality over a manifest loader.
+
+The reference's check_model_quality (train.py:329-431) and test.py summary
+math (test.py:197-209): per-utterance WER/CER via get_cer_wer, aggregated
+two ways — token-weighted (sum of distances / sum of reference lengths) and
+per-utterance-averaged. Also feeds the curriculum store when a train-val
+dataset is being scored (reference train.py:376-381).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deepspeech_tpu.metrics import get_cer_wer
+from deepspeech_tpu.utils.meters import AverageMeter
+
+
+def decode_batch_greedy(decoder, metrics: dict, batch: dict, labels):
+    """Greedy ids (already argmaxed on device) -> list of per-utterance
+    (transcript, reference, wer, cer, wer_ref, cer_ref)."""
+    greedy = np.asarray(metrics["greedy"])
+    out_lens = np.asarray(metrics["out_lens"])
+    targets = np.asarray(batch["targets"])
+    target_lengths = np.asarray(batch["target_lengths"])
+    valid = np.asarray(batch.get("valid", np.ones(len(greedy))))
+    hyps, _ = decoder.decode_ids(greedy, out_lens)
+    results = []
+    for i in range(len(greedy)):
+        if valid[i] <= 0:
+            continue
+        transcript = hyps[i][0]
+        reference = labels.render_transcript(
+            targets[i, : int(target_lengths[i])])
+        w, c, wr, cr = get_cer_wer(transcript, reference)
+        results.append((transcript, reference, w, c, wr, cr))
+    return results
+
+
+def evaluate(loader, eval_step, state, decoder, labels,
+             dataset=None, update_curriculum: bool = False,
+             progress=None):
+    """Run the eval loop. Returns a summary dict with both averaging modes
+    (reference test.py:197-209) and the mean loss (train.py:400)."""
+    loss_meter = AverageMeter()
+    total_wer = total_cer = total_wer_ref = total_cer_ref = 0.0
+    utt_wer = AverageMeter()
+    utt_cer = AverageMeter()
+    n_utts = 0
+
+    for batch in loader:
+        paths = batch.pop("paths", None)
+        metrics = eval_step(state, batch)
+        n_valid = int(np.asarray(batch.get(
+            "valid", np.ones(len(batch["targets"])))).sum())
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            loss = 1000.0  # reporting clamp (reference train.py:359-362)
+        loss_meter.update(loss, n_valid)
+        results = decode_batch_greedy(decoder, metrics, batch, labels)
+        for i, (transcript, reference, w, c, wr, cr) in enumerate(results):
+            total_wer += w
+            total_cer += c
+            total_wer_ref += wr
+            total_cer_ref += cr
+            utt_wer.update(w / wr)
+            utt_cer.update(c / cr)
+            n_utts += 1
+            if update_curriculum and dataset is not None and paths:
+                dataset.update_curriculum(paths[i], reference, transcript,
+                                          None, c / cr, w / wr)
+        if progress:
+            progress(n_utts)
+
+    return {
+        "loss": loss_meter.avg,
+        "wer": 100.0 * total_wer / max(total_wer_ref, 1.0),
+        "cer": 100.0 * total_cer / max(total_cer_ref, 1.0),
+        "utt_wer": 100.0 * utt_wer.avg,
+        "utt_cer": 100.0 * utt_cer.avg,
+        "num_utterances": n_utts,
+    }

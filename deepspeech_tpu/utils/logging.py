@@ -1,0 +1,92 @@
+"""Metrics logging: JSONL stream + optional TensorBoard.
+
+TPU-native replacement for the reference's visdom/tensorboardX plot windows
+(reference train.py:155-314): the same three streams — per-epoch train
+loss/WER/CER, per-checkpoint val, optional trainval — plus the LR-finder
+points (loss vs LR, train.py:254-314) and param/grad summaries
+(``--log-params``, train.py:247-251), written as one JSONL event log that
+any plotting front-end can tail, and mirrored to TensorBoard when enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | None = None, run_id: str = "run",
+                 tensorboard: bool = False, enabled: bool = True):
+        self.enabled = enabled
+        self.log_dir = log_dir
+        self.run_id = run_id
+        self._file = None
+        self._tb = None
+        if not enabled:
+            return
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._file = open(os.path.join(log_dir, f"{run_id}.jsonl"), "a")
+        if tensorboard and log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, run_id))
+            except Exception:
+                self._tb = None
+
+    def log(self, event: str, step: int | None = None, **fields):
+        if not self.enabled:
+            return
+        rec = {"ts": round(time.time(), 3), "event": event, **fields}
+        if step is not None:
+            rec["step"] = step
+        if self._file:
+            self._file.write(json.dumps(rec) + "\n")
+            self._file.flush()
+        if self._tb and step is not None:
+            for k, v in fields.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{event}/{k}", v, step)
+
+    def log_params(self, params, grads_norm: float | None, step: int):
+        """Per-tensor L2 norms (the reference logged full histograms,
+        train.py:247-251; norms carry the same signal at 1e-5 the bytes)."""
+        if not self.enabled:
+            return
+        import jax
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        norms = {"/".join(str(getattr(k, "key", k)) for k in path):
+                 float(np.linalg.norm(np.asarray(leaf)))
+                 for path, leaf in flat}
+        self.log("params", step=step, grad_norm=grads_norm, norms=norms)
+
+    def close(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None
+
+
+class Observer:
+    """Training-event hook base (the reference's cleaner-but-dead pattern,
+    observer.py:8-22, revived as the extension point)."""
+
+    def on_epoch_start(self, epoch: int, **kw): ...
+    def on_epoch_end(self, epoch: int, **kw): ...
+    def on_batch_start(self, epoch: int, iteration: int, **kw): ...
+    def on_batch_end(self, epoch: int, iteration: int, **kw): ...
+    def on_checkpoint(self, epoch: int, iteration: int, path: str, **kw): ...
+
+
+class ObserverList:
+    def __init__(self, observers=()):
+        self.observers = list(observers)
+
+    def emit(self, hook: str, *args, **kw):
+        for ob in self.observers:
+            getattr(ob, hook)(*args, **kw)
