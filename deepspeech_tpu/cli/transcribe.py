@@ -1,0 +1,104 @@
+"""Single-file transcription CLI (reference transcribe.py:17-105):
+wav -> JSON transcript on stdout, with optional per-char frame offsets and
+model/decoder metadata."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from deepspeech_tpu.cli.args import add_decoder_args, add_inference_args
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeepSpeech-TPU transcription")
+    add_inference_args(p)
+    p.add_argument("--audio-path", default="audio.wav")
+    p.add_argument("--offsets", action="store_true",
+                   help="include per-character frame offsets")
+    p.add_argument("--channel", default=-1, type=int,
+                   help="stereo channel (0=left, 1=right, -1=average)")
+    p.add_argument("--meta", action="store_true",
+                   help="include model/decoder metadata")
+    p.add_argument("--norm", default="max_frame")
+    add_decoder_args(p)
+    return p
+
+
+def transcribe(audio_path, audio_conf, model, state, decoder, norm="max_frame",
+               channel=-1):
+    """wav path -> (strings, offsets) (reference transcribe.py:63-71), with
+    the STFT front-end on device."""
+    import jax.numpy as jnp
+
+    from deepspeech_tpu.audio.dsp import resample
+    from deepspeech_tpu.audio.features import featurize_batch
+    from deepspeech_tpu.audio.io import load_audio_norm
+    from deepspeech_tpu.decoders import GreedyDecoder
+
+    y, sr = load_audio_norm(audio_path, channel=channel)
+    if sr != audio_conf.sample_rate:
+        y = resample(y, sr, audio_conf.sample_rate)
+    audio = jnp.asarray(y[None, :])
+    lengths = jnp.asarray([len(y)])
+    spect, spect_lengths = featurize_batch(audio, lengths, audio_conf, norm)
+    logits, probs, out_lens = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        spect, spect_lengths, False)
+    return decoder.decode(np.asarray(probs), np.asarray(out_lens))
+
+
+def decode_results(decoded_output, decoded_offsets, args, package):
+    """JSON assembly (reference transcribe.py:33-60)."""
+    results = {"output": []}
+    if args.meta:
+        results["_meta"] = {
+            "acoustic_model": {
+                "name": os.path.basename(args.continue_from),
+                **{k: package.get(k) for k in
+                   ("version", "rnn_type", "hidden_size", "hidden_layers")},
+            },
+            "language_model": {
+                "name": os.path.basename(args.lm_path) if args.lm_path else None,
+            },
+            "decoder": {
+                "lm": args.lm_path is not None,
+                "alpha": args.alpha if args.lm_path is not None else None,
+                "beta": args.beta if args.lm_path is not None else None,
+                "type": args.decoder,
+            },
+        }
+    for b in range(len(decoded_output)):
+        for pi in range(min(args.top_paths, len(decoded_output[b]))):
+            result = {"transcription": decoded_output[b][pi]}
+            if args.offsets:
+                result["offsets"] = np.asarray(
+                    decoded_offsets[b][pi]).tolist()
+            results["output"].append(result)
+    return results
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from deepspeech_tpu.cli.common import build_decoder, load_inference_model
+
+    model, state, labels, audio_conf, package = load_inference_model(
+        args.continue_from)
+    decoder = build_decoder(args, labels)
+
+    decoded_output, decoded_offsets = transcribe(
+        args.audio_path, audio_conf, model, state, decoder, norm=args.norm,
+        channel=args.channel)
+    output = decode_results(decoded_output, decoded_offsets, args, package)
+    output["input"] = {"channel": args.channel, "source": args.audio_path}
+    output["model"] = {"model": args.continue_from}
+    print(json.dumps(output, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

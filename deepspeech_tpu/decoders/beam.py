@@ -1,0 +1,179 @@
+"""CTC prefix beam search with optional n-gram LM fusion.
+
+Replaces the reference's C++ ``ctcdecode.CTCBeamDecoder`` (reference
+decoder.py:90-143) with an in-tree implementation of the standard CTC prefix
+beam search (Hannun et al. 2014):
+
+* per step, each surviving prefix tracks p_blank / p_non_blank; extensions
+  merge probabilities of identical prefixes exactly;
+* ``cutoff_top_n`` / ``cutoff_prob`` prune the per-step character candidates
+  (same knobs as ctcdecode, reference opts.py:10-13);
+* LM fusion at word boundaries: emitting the space character adds
+  ``alpha * log10 P(word | context) + beta`` (KenLM-style shallow fusion,
+  reference opts.py:6-9);
+* returns the reference decoder tuple convention: (strings, offsets) with
+  ``top_paths`` hypotheses per utterance (reference decoder.py:128-143).
+
+The batch dimension parallelizes across a thread pool (``num_processes`` in
+the reference maps to threads here — the DP inner loops are numpy).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from deepspeech_tpu.decoders.base import Decoder
+from deepspeech_tpu.decoders.lm import LOG10, load_lm
+
+NEG_INF = -math.inf
+
+
+def _logaddexp(a: float, b: float) -> float:
+    if a == NEG_INF:
+        return b
+    if b == NEG_INF:
+        return a
+    m = a if a > b else b
+    return m + math.log1p(math.exp(-abs(a - b)))
+
+
+def ctc_beam_search(log_probs: np.ndarray, beam_width: int = 10,
+                    blank: int = 0, cutoff_top_n: int = 40,
+                    cutoff_prob: float = 1.0, space_index: int | None = None,
+                    lm=None, alpha: float = 0.8, beta: float = 1.0,
+                    labels: str | None = None, top_paths: int = 1):
+    """Decode one utterance.
+
+    log_probs: (T, C) log posteriors. Returns list of up to ``top_paths``
+    (ids tuple, offsets tuple, total_log_prob) sorted best-first.
+    """
+    t_max, n_classes = log_probs.shape
+    # beams: prefix(tuple ids) -> [p_b, p_nb, offsets(tuple), lm_state]
+    # lm_state = (words tuple so far, current partial word string)
+    init_lm = ((), "") if lm is not None else None
+    beams = {(): [0.0, NEG_INF, (), init_lm]}
+
+    def lm_word_bonus(lm_state, next_char_is_space: bool):
+        """alpha*log10 P(word|ctx) + beta when a word completes."""
+        words, partial = lm_state
+        if not partial:
+            return 0.0, (words, "")
+        s = alpha * lm.score_word(("<s>",) + words, partial) * LOG10 + beta
+        return s, (words + (partial,), "")
+
+    for t in range(t_max):
+        lp = log_probs[t]
+        # candidate character pruning (ctcdecode cutoff_top_n/cutoff_prob)
+        order = np.argsort(lp)[::-1]
+        if cutoff_prob < 1.0:
+            cum = np.cumsum(np.exp(lp[order]))
+            keep = int(np.searchsorted(cum, cutoff_prob) + 1)
+            order = order[:keep]
+        cand = order[: cutoff_top_n]
+
+        next_beams: dict = {}
+
+        def bump(prefix, which, value, offsets, lm_state):
+            entry = next_beams.get(prefix)
+            if entry is None:
+                entry = [NEG_INF, NEG_INF, offsets, lm_state]
+                next_beams[prefix] = entry
+            entry[which] = _logaddexp(entry[which], value)
+
+        for prefix, (p_b, p_nb, offsets, lm_state) in beams.items():
+            total = _logaddexp(p_b, p_nb)
+            last = prefix[-1] if prefix else None
+            for c in cand:
+                p_c = float(lp[c])
+                if c == blank:
+                    bump(prefix, 0, total + p_c, offsets, lm_state)
+                elif c == last:
+                    # repeat collapses into the same prefix...
+                    bump(prefix, 1, p_nb + p_c, offsets, lm_state)
+                    # ...or extends it if a blank intervened
+                    if p_b != NEG_INF:
+                        new_state = lm_state
+                        bonus = 0.0
+                        if lm is not None:
+                            if c == space_index:
+                                bonus, new_state = lm_word_bonus(lm_state, True)
+                            else:
+                                new_state = (lm_state[0],
+                                             lm_state[1] + labels[c])
+                        bump(prefix + (int(c),), 1, p_b + p_c + bonus,
+                             offsets + (t,), new_state)
+                else:
+                    new_state = lm_state
+                    bonus = 0.0
+                    if lm is not None:
+                        if c == space_index:
+                            bonus, new_state = lm_word_bonus(lm_state, True)
+                        else:
+                            new_state = (lm_state[0], lm_state[1] + labels[c])
+                    bump(prefix + (int(c),), 1, total + p_c + bonus,
+                         offsets + (t,), new_state)
+
+        # keep top beam_width prefixes by merged probability
+        scored = sorted(next_beams.items(),
+                        key=lambda kv: _logaddexp(kv[1][0], kv[1][1]),
+                        reverse=True)
+        beams = dict(scored[:beam_width])
+
+    final = []
+    for prefix, (p_b, p_nb, offsets, lm_state) in beams.items():
+        score = _logaddexp(p_b, p_nb)
+        if lm is not None and lm_state and lm_state[1]:
+            bonus, _ = lm_word_bonus(lm_state, True)
+            score += bonus
+        final.append((prefix, offsets, score))
+    final.sort(key=lambda x: x[2], reverse=True)
+    return final[:top_paths]
+
+
+class BeamCTCDecoder(Decoder):
+    """Drop-in for the reference BeamCTCDecoder (decoder.py:90-143)."""
+
+    def __init__(self, labels, lm_path=None, alpha=0.8, beta=1.0,
+                 cutoff_top_n=40, cutoff_prob=1.0, beam_width=10,
+                 num_processes=4, blank_index=0, top_paths=1):
+        super().__init__(labels, blank_index=blank_index)
+        self.beam_width = beam_width
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = cutoff_prob
+        self.top_paths = top_paths
+        self.alpha = alpha
+        self.beta = beta
+        self.num_processes = max(1, num_processes)
+        self.lm = load_lm(lm_path)
+
+    def _decode_one(self, log_probs: np.ndarray):
+        hyps = ctc_beam_search(
+            log_probs, beam_width=self.beam_width, blank=self.blank_index,
+            cutoff_top_n=self.cutoff_top_n, cutoff_prob=self.cutoff_prob,
+            space_index=self.space_index if self.lm is not None else None,
+            lm=self.lm, alpha=self.alpha, beta=self.beta,
+            labels=self.labels, top_paths=self.top_paths)
+        strings = ["".join(self.int_to_char[i] for i in prefix)
+                   for prefix, _, _ in hyps]
+        offsets = [np.asarray(offs, dtype=np.int32) for _, offs, _ in hyps]
+        return strings, offsets
+
+    def decode(self, probs, sizes=None):
+        """probs: (B, T, C) posteriors (softmax output, like the reference
+        feeds, decoder.py:128-135). Returns (strings, offsets) where
+        strings[b][k] is the k-th best hypothesis."""
+        probs = np.asarray(probs, dtype=np.float64)
+        log_probs = np.log(np.clip(probs, 1e-30, 1.0))
+        items = []
+        for b in range(log_probs.shape[0]):
+            t = int(sizes[b]) if sizes is not None else log_probs.shape[1]
+            items.append(log_probs[b, :t])
+        if self.num_processes > 1 and len(items) > 1:
+            with ThreadPoolExecutor(self.num_processes) as pool:
+                results = list(pool.map(self._decode_one, items))
+        else:
+            results = [self._decode_one(x) for x in items]
+        return [r[0] for r in results], [r[1] for r in results]

@@ -1,0 +1,77 @@
+"""Word n-gram language model (ARPA format) with Katz backoff scoring.
+
+Replacement for the reference's optional KenLM dependency (reference
+decoder.py:95-99 passes ``lm_path`` into ctcdecode's C++ scorer). Reads
+textual ARPA files; scores are log10 like ARPA/KenLM, used by the beam
+decoder as ``alpha * log_p(word | context) + beta`` at word boundaries.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+
+
+class ArpaLM:
+    def __init__(self, path: str, max_order: int | None = None):
+        self.ngrams: dict[tuple, tuple] = {}  # words-tuple -> (logp, backoff)
+        self.order = 0
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf8", errors="replace") as f:
+            section = 0
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and "-grams:" in line:
+                    section = int(line[1:line.index("-")])
+                    if max_order and section > max_order:
+                        break
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\") or line.startswith("ngram "):
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2 or section == 0:
+                    continue
+                logp = float(parts[0])
+                words = tuple(parts[1].split())
+                backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                self.ngrams[words] = (logp, backoff)
+
+    def score_word(self, context: tuple, word: str) -> float:
+        """log10 P(word | context) with backoff; unknown words get the <unk>
+        score or a -inf-ish floor."""
+        context = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        while True:
+            entry = self.ngrams.get(context + (word,))
+            if entry is not None:
+                return entry[0]
+            if not context:
+                unk = self.ngrams.get(("<unk>",))
+                return unk[0] if unk is not None else -10.0
+            # back off: add the context's backoff weight, shorten context
+            bo = self.ngrams.get(context)
+            penalty = bo[1] if bo is not None else 0.0
+            context = context[1:]
+            entry = self.ngrams.get(context + (word,))
+            if entry is not None:
+                return penalty + entry[0]
+            if not context:
+                unk = self.ngrams.get(("<unk>",))
+                return penalty + (unk[0] if unk is not None else -10.0)
+
+    def score_sentence(self, words, bos: bool = True) -> float:
+        context = ("<s>",) if bos else ()
+        total = 0.0
+        for w in words:
+            total += self.score_word(context, w)
+            context = context + (w,)
+        return total
+
+
+def load_lm(path: str | None):
+    return ArpaLM(path) if path else None
+
+
+LOG10 = math.log(10.0)

@@ -1,5 +1,6 @@
 from deepspeech_tpu.train.optim import build_optimizer, get_lr, set_lr
 from deepspeech_tpu.train.step import (
+    InferenceState,
     StepConfig,
     TrainState,
     make_eval_step,

@@ -30,6 +30,13 @@ from deepspeech_tpu.ops.ctc import ctc_loss
 
 
 @flax.struct.dataclass
+class InferenceState:
+    """Params-only state for eval/transcribe (a valid jit pytree)."""
+    params: Any
+    batch_stats: Any
+
+
+@flax.struct.dataclass
 class TrainState:
     params: Any
     batch_stats: Any
