@@ -15,7 +15,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_NAME = "libdeepspeech_native.so"
-_SOURCES = ["edit_distance.cpp", "beam_search.cpp"]
+_SOURCES = ["edit_distance.cpp", "beam_search.cpp", "flac_decoder.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -54,6 +54,17 @@ def load_native():
             lib.edit_distance_u32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ]
+            lib.flac_probe.restype = ctypes.c_int32
+            lib.flac_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.flac_decode.restype = ctypes.c_int64
+            lib.flac_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
             ]
             lib.edit_distance_u32_batch.restype = None
             lib.edit_distance_u32_batch.argtypes = [
