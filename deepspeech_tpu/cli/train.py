@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bidirectional", dest="bidirectional",
                    action="store_false", default=True)
     p.add_argument("--batch-norm-momentum", default=0.1, type=float)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="matmul operand precision (weights stay float32)")
     # optimization
     p.add_argument("--epochs", default=70, type=int)
     p.add_argument("--lr", "--learning-rate", default=3e-4, type=float)
@@ -153,11 +156,11 @@ def main(argv=None) -> int:
                                      "aug_prob_spect": 0})
 
     if package is not None:
-        model = model_from_meta(package)
         meta = {k: package[k] for k in
                 ("rnn_type", "num_classes", "hidden_size", "hidden_layers",
                  "bidirectional", "bnm", "cnn_width", "dropout", "context")
                 if k in package}
+        model, _ = build_model(**meta, compute_dtype=args.compute_dtype)
     else:
         model, meta = build_model(
             rnn_type=args.rnn_type, num_classes=len(labels.labels),
@@ -165,7 +168,8 @@ def main(argv=None) -> int:
             bidirectional=args.bidirectional, bnm=args.batch_norm_momentum,
             cnn_width=args.cnn_width, dropout=args.dropout,
             sample_rate=audio_conf.sample_rate,
-            window_size=audio_conf.window_size)
+            window_size=audio_conf.window_size,
+            compute_dtype=args.compute_dtype)
 
     tx = build_optimizer(args.optimizer, lr=args.lr, momentum=args.momentum,
                          weight_decay=args.weight_decay,

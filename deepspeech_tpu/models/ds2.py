@@ -57,6 +57,7 @@ class RecurrentLayer(nn.Module):
     bidirectional: bool = True
     batch_norm: bool = True
     bnm: float = 0.1
+    compute_dtype: Any = None  # matmul operand dtype (bf16 = MXU fast path)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -78,13 +79,15 @@ class RecurrentLayer(nn.Module):
         w_hh = self.param("w_hh", uniform, (d, h, g * h))
         b_hh = self.param("b_hh", uniform, (d, g * h))
         return rnn_scan(x, lengths, w_ih, b_ih, w_hh, b_hh, cell=self.cell,
-                        bidirectional=self.bidirectional, sum_directions=True)
+                        bidirectional=self.bidirectional, sum_directions=True,
+                        compute_dtype=self.compute_dtype)
 
 
 class ConvFrontend(nn.Module):
     """Masked 2-conv front (MaskConv stack, model.py:208-215)."""
 
     bnm: float = 0.1
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, out_lengths: jnp.ndarray,
@@ -98,7 +101,9 @@ class ConvFrontend(nn.Module):
                  padding=((10, 10), (5, 5))),
         ]
         for i, spec in enumerate(specs):
-            x = nn.Conv(**spec, use_bias=True, name=f"conv{i}")(x)
+            x = nn.Conv(**spec, use_bias=True, dtype=self.compute_dtype,
+                        name=f"conv{i}")(x)
+            x = x.astype(jnp.float32)  # BN/activation/mask stay f32
             mask = length_mask(out_lengths, x.shape[2], x.dtype)[:, None, :, None]
             x = x * mask
             x = TorchBatchNorm(momentum=self.bnm, name=f"bn{i}")(x, train)
@@ -121,7 +126,7 @@ class DeepSpeech2(nn.Module):
     bnm: float = 0.1
     sample_rate: int = 16000
     window_size: float = 0.02
-    compute_dtype: Any = jnp.float32
+    compute_dtype: Any = None  # None = f32; jnp.bfloat16 = MXU fast path
 
     @nn.compact
     def __call__(self, spect: jnp.ndarray, lengths: jnp.ndarray,
@@ -129,8 +134,9 @@ class DeepSpeech2(nn.Module):
         """spect: (B, 161, T) normalized log-spectrogram; lengths: (B,) valid
         frame counts. Returns (logits (B,T',C), probs, output_lengths)."""
         out_lengths = conv_out_lengths(lengths)
-        x = spect.astype(self.compute_dtype)
-        x = ConvFrontend(bnm=self.bnm, name="conv")(x, out_lengths, train)
+        x = spect.astype(jnp.float32)
+        x = ConvFrontend(bnm=self.bnm, compute_dtype=self.compute_dtype,
+                         name="conv")(x, out_lengths, train)
 
         # collapse freq: (B, F=41, T', C=32) -> feature index c*41+f for
         # weight-porting parity with the reference's view() (model.py:360-362)
@@ -144,7 +150,8 @@ class DeepSpeech2(nn.Module):
                 input_size=rnn_input if i == 0 else self.hidden_size,
                 hidden_size=self.hidden_size, cell=self.cell,
                 bidirectional=self.bidirectional, batch_norm=i > 0,
-                bnm=self.bnm, name=f"rnn{i}")(x, out_lengths, train)
+                bnm=self.bnm, compute_dtype=self.compute_dtype,
+                name=f"rnn{i}")(x, out_lengths, train)
 
         if not self.bidirectional:
             x = Lookahead(self.hidden_size, self.context, name="lookahead")(x)

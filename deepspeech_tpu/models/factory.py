@@ -24,8 +24,17 @@ def build_model(rnn_type: str = "gru", num_classes: int = 29,
                 bidirectional: bool = True, bnm: float = 0.1,
                 cnn_width: int = 256, dropout: float = 0.0,
                 context: int = 20, sample_rate: int = 16000,
-                window_size: float = 0.02):
-    """-> (flax module, meta dict for checkpoints)."""
+                window_size: float = 0.02, compute_dtype=None):
+    """-> (flax module, meta dict for checkpoints).
+
+    ``compute_dtype``: matmul operand precision ("bfloat16" or jnp.bfloat16
+    for the MXU fast path; None = float32). A runtime choice — excluded from
+    checkpoint meta, the weights themselves are always float32."""
+    import jax.numpy as jnp
+
+    if isinstance(compute_dtype, str):
+        compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                         "float32": None, "f32": None}[compute_dtype]
     rnn_type = rnn_type.lower()
     meta = {
         "rnn_type": rnn_type, "num_classes": num_classes,
@@ -38,7 +47,8 @@ def build_model(rnn_type: str = "gru", num_classes: int = 29,
             num_classes=num_classes, hidden_size=hidden_size,
             hidden_layers=hidden_layers, cell=rnn_type,
             bidirectional=bidirectional, context=context, bnm=bnm,
-            sample_rate=sample_rate, window_size=window_size)
+            sample_rate=sample_rate, window_size=window_size,
+            compute_dtype=compute_dtype)
         return model, meta
     if rnn_type in CNN_KEYS:
         from deepspeech_tpu.models import cnn as _cnn

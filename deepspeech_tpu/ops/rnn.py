@@ -24,10 +24,18 @@ import jax.numpy as jnp
 CELL_GATES = {"gru": 3, "lstm": 4, "rnn": 1}
 
 
+def _hidden_matmul(h, w_hh, b_hh):
+    """(..., B, H) @ (..., H, G*H) with f32 accumulation; the operands may be
+    bfloat16 (MXU fast path) while gate math stays f32."""
+    hp = jnp.einsum("...bh,...hg->...bg", h.astype(w_hh.dtype), w_hh,
+                    preferred_element_type=jnp.float32)
+    return hp + b_hh[..., None, :].astype(jnp.float32)
+
+
 def _gru_step(h, xp, w_hh, b_hh):
     """xp: precomputed x@W_ih^T + b_ih, (..., 3H); h: (..., H)."""
     hidden = h.shape[-1]
-    hp = jnp.einsum("...bh,...hg->...bg", h, w_hh) + b_hh[..., None, :]
+    hp = _hidden_matmul(h, w_hh, b_hh)
     xr, xz, xn = (xp[..., :hidden], xp[..., hidden:2 * hidden],
                   xp[..., 2 * hidden:])
     hr, hz, hn = (hp[..., :hidden], hp[..., hidden:2 * hidden],
@@ -41,7 +49,7 @@ def _gru_step(h, xp, w_hh, b_hh):
 def _lstm_step(state, xp, w_hh, b_hh):
     h, c = state
     hidden = h.shape[-1]
-    gates = xp + jnp.einsum("...bh,...hg->...bg", h, w_hh) + b_hh[..., None, :]
+    gates = xp + _hidden_matmul(h, w_hh, b_hh)
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
@@ -52,8 +60,7 @@ def _lstm_step(state, xp, w_hh, b_hh):
 
 
 def _rnn_step(h, xp, w_hh, b_hh):
-    return jnp.tanh(xp + jnp.einsum("...bh,...hg->...bg", h, w_hh)
-                    + b_hh[..., None, :])
+    return jnp.tanh(xp + _hidden_matmul(h, w_hh, b_hh))
 
 
 def _reverse_in_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -68,7 +75,8 @@ def _reverse_in_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
              b_ih: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
              cell: str = "gru", bidirectional: bool = True,
-             sum_directions: bool = True) -> jnp.ndarray:
+             sum_directions: bool = True,
+             compute_dtype=None) -> jnp.ndarray:
     """Run a (bi)directional recurrent layer.
 
     x: (T, B, F) time-major input; lengths: (B,) valid steps.
@@ -77,6 +85,10 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     with D = 2 if bidirectional else 1, G = gates(cell).
     Returns (T, B, H) if sum_directions (reference model.py:106-107 sums the
     two directions) else (T, B, D*H); padded steps are zeros.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) is the matmul operand precision —
+    the MXU fast path. Gate nonlinearities, the hidden state, and all
+    accumulations stay float32.
     """
     gates = CELL_GATES[cell]
     d = 2 if bidirectional else 1
@@ -84,14 +96,20 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     hidden = w_hh.shape[1]
     t, b = x.shape[0], x.shape[1]
 
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w_ih = w_ih.astype(compute_dtype)
+        w_hh = w_hh.astype(compute_dtype)
+
     # Input projection for every (direction, timestep) in one matmul.
     # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
     xp = jnp.einsum("tbf,dfg->dtbg", x, w_ih,
-                    precision=jax.lax.Precision.DEFAULT) + b_ih[:, None, None, :]
+                    preferred_element_type=jnp.float32) \
+        + b_ih[:, None, None, :].astype(jnp.float32)
     if bidirectional:
         xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
 
-    h0 = jnp.zeros((d, b, hidden), x.dtype)
+    h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
     if cell == "lstm":
         init = (h0, jnp.zeros_like(h0))
 
@@ -113,7 +131,7 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     if bidirectional:
         out = out.at[1].set(_reverse_in_length(out[1], lengths))
 
-    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(x.dtype)
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(out.dtype)
     out = out * mask[None, :, :, None]
     if bidirectional and sum_directions:
         return out[0] + out[1]
