@@ -59,13 +59,18 @@ def main():
     train_step = make_train_step(model, tx, StepConfig(audio_conf=AudioConf()))
 
     key = jax.random.PRNGKey(0)
-    # warmup / compile
+    # warmup / compile; the float() readback forces real completion — on the
+    # tunnel-attached chip block_until_ready returns at dispatch time, so a
+    # host transfer of a value that depends on the whole step chain is the
+    # only trustworthy synchronization point.
     for i in range(3):
         state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     # several timed windows; report the best (the tunnel-attached chip shows
-    # large run-to-run contention noise — peak is the honest device number)
+    # large run-to-run contention noise — peak is the honest device number).
+    # Each window is closed by a loss readback that depends on every step in
+    # the window; its ~25 ms tunnel round-trip is amortized over the window.
     windows = int(os.environ.get("BENCH_WINDOWS", 3))
     best_dt = float("inf")
     for w in range(windows):
@@ -73,7 +78,7 @@ def main():
         for i in range(steps):
             state, metrics = train_step(state, batch,
                                          jax.random.fold_in(key, w * steps + i))
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     audio_seconds = batch_size * seconds * steps

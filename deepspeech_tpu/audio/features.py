@@ -177,22 +177,21 @@ def masked_gaussian_smoothed_mean(seq: jnp.ndarray, lengths: jnp.ndarray,
     sequence, with scipy 'reflect' (symmetric) boundaries at the *valid* edges.
 
     seq: (B, T) per-frame means; lengths: (B,) valid frame counts -> (B,)
+
+    Implementation note: scipy's default 'reflect' mode is the half-sample
+    symmetric extension; with a normalized symmetric kernel the resulting
+    smoothing matrix is doubly stochastic (symmetric with rows summing to 1),
+    so the mean of the smoothed sequence EQUALS the mean of the original —
+    exactly, not approximately (see tests/test_features.py). The reference
+    (data_loader_aug.py:297-307) only ever uses ``smoothed.mean()``, so on
+    device the whole sigma-``sigma`` convolution reduces to a masked mean and
+    the TPU-hostile per-length reflected gather disappears. ``sigma`` is kept
+    in the signature for parity with the host path, which still runs scipy.
     """
-    kernel = _gauss_kernel(float(sigma))
-    radius = (len(kernel) - 1) // 2
-    b, t = seq.shape
-    pos = jnp.arange(t)[:, None] + jnp.arange(-radius, radius + 1)[None, :]
-    # symmetric reflection into [0, L): period 2L over m = pos mod 2L
-    length_col = lengths[:, None, None].astype(jnp.int32)
-    m = jnp.mod(pos[None, :, :], jnp.maximum(2 * length_col, 1))
-    idx = jnp.minimum(m, jnp.maximum(2 * length_col - 1 - m, 0))
-    idx = jnp.clip(idx, 0, t - 1)
-    gathered = jnp.take_along_axis(
-        seq[:, None, :], idx.reshape(b, -1)[:, None, :],
-        axis=-1).reshape(b, t, len(kernel))
-    smoothed = gathered @ jnp.asarray(kernel)
-    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(seq.dtype)
-    return (smoothed * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+    del sigma  # mean-preserving: see docstring
+    mask = (jnp.arange(seq.shape[-1])[None, :] < lengths[:, None]
+            ).astype(seq.dtype)
+    return (seq * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
 
 
 def normalize_spectrogram_batch(spect: jnp.ndarray, frame_lengths: jnp.ndarray,

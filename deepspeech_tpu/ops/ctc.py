@@ -35,14 +35,25 @@ def _safe_logaddexp3(a, b, c):
 
 def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
              targets: jnp.ndarray, target_lengths: jnp.ndarray,
-             blank: int = 0) -> jnp.ndarray:
+             blank: int = 0, impl: str = "auto") -> jnp.ndarray:
     """Per-sample CTC negative log likelihood.
 
     logits: (B, T, C) raw (pre-softmax); logit_lengths: (B,);
     targets: (B, L) padded label ids (no blanks); target_lengths: (B,).
     Returns (B,) float32 losses; impossible alignments (2L+1 > usable states
     or L > T) yield +inf like warp-ctc.
+
+    ``impl``: ``"xla"`` (this module's lax.scan + autodiff), ``"pallas"``
+    (fused alpha/beta Pallas kernels with analytic gradients,
+    ops/pallas/ctc_kernel.py), ``"pallas_interpret"`` (for CPU tests), or
+    ``"auto"`` (Pallas on TPU, XLA elsewhere).
     """
+    from deepspeech_tpu.ops.pallas import pallas_supported
+    if impl in ("pallas", "pallas_interpret") or (
+            impl == "auto" and pallas_supported()):
+        from deepspeech_tpu.ops.pallas.ctc_kernel import ctc_loss_pallas
+        return ctc_loss_pallas(logits, logit_lengths, targets, target_lengths,
+                               blank, impl == "pallas_interpret")
     b, t, _ = logits.shape
     l = targets.shape[1]
     s = 2 * l + 1

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot ops (SURVEY.md §7 step 9).
+
+Each kernel sits behind the same API as its XLA lowering and is selected by
+an ``impl=`` switch (default ``"auto"``: Pallas on TPU when supported,
+XLA everywhere else).
+"""
+
+from deepspeech_tpu.ops.pallas.rnn_kernel import gru_scan_pallas, pallas_supported
+
+__all__ = ["gru_scan_pallas", "pallas_supported"]

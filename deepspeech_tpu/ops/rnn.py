@@ -76,7 +76,7 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
              b_ih: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
              cell: str = "gru", bidirectional: bool = True,
              sum_directions: bool = True,
-             compute_dtype=None) -> jnp.ndarray:
+             compute_dtype=None, impl: str = "auto") -> jnp.ndarray:
     """Run a (bi)directional recurrent layer.
 
     x: (T, B, F) time-major input; lengths: (B,) valid steps.
@@ -89,6 +89,11 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     ``compute_dtype`` (e.g. jnp.bfloat16) is the matmul operand precision —
     the MXU fast path. Gate nonlinearities, the hidden state, and all
     accumulations stay float32.
+
+    ``impl`` selects the recurrence lowering: ``"xla"`` (lax.scan),
+    ``"pallas"`` (fused Pallas TPU kernel, GRU+bf16 only),
+    ``"pallas_interpret"`` (Pallas interpreter, for CPU tests), or
+    ``"auto"`` (Pallas when on TPU and supported, else XLA).
     """
     gates = CELL_GATES[cell]
     d = 2 if bidirectional else 1
@@ -96,10 +101,17 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     hidden = w_hh.shape[1]
     t, b = x.shape[0], x.shape[1]
 
+    from deepspeech_tpu.ops.pallas import pallas_supported
+
+    use_pallas = cell == "gru" and compute_dtype is not None and (
+        impl in ("pallas", "pallas_interpret")
+        or (impl == "auto" and pallas_supported()))
+
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w_ih = w_ih.astype(compute_dtype)
-        w_hh = w_hh.astype(compute_dtype)
+        if not use_pallas:
+            w_hh = w_hh.astype(compute_dtype)
 
     # Input projection for every (direction, timestep) in one matmul.
     # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
@@ -109,25 +121,35 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     if bidirectional:
         xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
 
-    h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
-    if cell == "lstm":
-        init = (h0, jnp.zeros_like(h0))
+    if use_pallas:
+        from deepspeech_tpu.ops.pallas import gru_scan_pallas
 
-        def step(state, xp_t):
-            state = _lstm_step(state, xp_t, w_hh, b_hh)
-            return state, state[0]
+        # direction-stacked rows: (T, D*B, G*H)
+        xp_rows = jnp.moveaxis(xp, 0, 1).reshape(t, d * b, gates * hidden)
+        h = gru_scan_pallas(xp_rows, w_hh.astype(jnp.float32),
+                            b_hh.astype(jnp.float32), b,
+                            impl == "pallas_interpret")
+        out = jnp.moveaxis(h.reshape(t, d, b, hidden), 0, 1)  # (D, T, B, H)
     else:
-        init = h0
-        step_fn = _gru_step if cell == "gru" else _rnn_step
+        h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
+        if cell == "lstm":
+            init = (h0, jnp.zeros_like(h0))
 
-        def step(h, xp_t):
-            h = step_fn(h, xp_t, w_hh, b_hh)
-            return h, h
+            def step(state, xp_t):
+                state = _lstm_step(state, xp_t, w_hh, b_hh)
+                return state, state[0]
+        else:
+            init = h0
+            step_fn = _gru_step if cell == "gru" else _rnn_step
 
-    # scan over time; both directions ride along in the leading D axis of the
-    # state, so one scan serves the whole layer.
-    _, out = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))  # (T, D, B, H)
-    out = jnp.swapaxes(out, 0, 1)  # (D, T, B, H)
+            def step(h, xp_t):
+                h = step_fn(h, xp_t, w_hh, b_hh)
+                return h, h
+
+        # scan over time; both directions ride along in the leading D axis of
+        # the state, so one scan serves the whole layer.
+        _, out = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
+        out = jnp.swapaxes(out, 0, 1)  # (D, T, B, H)
     if bidirectional:
         out = out.at[1].set(_reverse_in_length(out[1], lengths))
 

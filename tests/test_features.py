@@ -149,3 +149,18 @@ def test_featurize_batch_matches_host_parse_audio():
         fl = 1 + L // conf.hop
         np.testing.assert_allclose(spect[i, :, :fl], hosts[i],
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_gaussian_reflect_smoothing_preserves_mean():
+    """The identity the device path relies on: scipy gaussian_filter1d with
+    the default 'reflect' (symmetric) boundary and a normalized symmetric
+    kernel preserves the sequence mean exactly, so subtracting
+    ``smoothed.mean()`` == subtracting ``raw.mean()``
+    (reference data_loader_aug.py:297-307)."""
+    import scipy.ndimage
+    rng = np.random.default_rng(11)
+    for t in (5, 17, 160, 751):
+        for sigma in (20.0, 50.0):
+            x = rng.standard_normal(t) * 3 + 1
+            sm = scipy.ndimage.gaussian_filter1d(x, sigma)
+            assert abs(sm.mean() - x.mean()) < 1e-12 * max(1, abs(x.mean()))
