@@ -30,7 +30,9 @@ def add_decoder_args(parser: argparse.ArgumentParser):
 
 def add_inference_args(parser: argparse.ArgumentParser):
     parser.add_argument("--decoder", default="greedy",
-                        choices=["greedy", "beam"], help="Decoder to use")
+                        choices=["greedy", "beam", "device_beam"],
+                        help="Decoder to use (device_beam = jit-compiled "
+                             "on-accelerator beam search, no LM)")
     parser.add_argument("--continue-from", "--model-path",
                         dest="continue_from", required=True,
                         help="Path to model checkpoint")

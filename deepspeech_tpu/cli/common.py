@@ -37,7 +37,18 @@ def _to_jnp(tree):
 
 
 def build_decoder(args, labels):
-    """Greedy or beam per CLI flags (reference test.py:73-83)."""
+    """Greedy, host beam, or on-device beam per CLI flags
+    (reference test.py:73-83; ``device_beam`` is TPU-native extra)."""
+    if getattr(args, "decoder", "greedy") == "device_beam":
+        from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
+        if getattr(args, "lm_path", None):
+            raise SystemExit(
+                "--decoder device_beam does not support --lm-path; "
+                "use --decoder beam for LM shallow fusion")
+        return DeviceBeamCTCDecoder(
+            labels.labels, beam_width=args.beam_width,
+            cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
+            top_paths=args.top_paths, blank_index=labels.blank_index)
     if getattr(args, "decoder", "greedy") == "beam":
         from deepspeech_tpu.decoders import BeamCTCDecoder
         return BeamCTCDecoder(
