@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-params", action="store_true")
     p.add_argument("--id", default="Deepspeech training")
     p.add_argument("--seed", default=123456, type=int)
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace (XLA/TPU timeline, "
+                        "viewable in TensorBoard/Perfetto) to this dir")
+    p.add_argument("--profile-start", default=10, type=int,
+                   help="global step to start the profiler trace at "
+                        "(skips compile + warmup steps)")
+    p.add_argument("--profile-steps", default=5, type=int,
+                   help="number of steps to trace")
     # device/bucketing
     p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
                    help="audio padding granularity (static XLA shapes)")
@@ -243,8 +251,7 @@ def main(argv=None) -> int:
         return eval_step_fn(s, to_device(batch))
 
     decoder = GreedyDecoder(labels.labels)
-    logger = MetricsLogger(args.log_dir if (args.tensorboard or True) else None,
-                           run_id=args.id.replace(" ", "_"),
+    logger = MetricsLogger(args.log_dir, run_id=args.id.replace(" ", "_"),
                            tensorboard=args.tensorboard, enabled=is_leader)
     os.makedirs(args.save_folder, exist_ok=True)
 
@@ -280,6 +287,25 @@ def main(argv=None) -> int:
         return summary
 
     samples_since_ckpt = 0
+    profiling = False
+    global_step = 0
+
+    def maybe_profile(step):
+        """jax.profiler trace window around [profile_start, +profile_steps)
+        (the reference had no profiler at all, SURVEY §5; this is the
+        TPU-native replacement for its wall-clock AverageMeters)."""
+        nonlocal profiling
+        if not args.profile_dir or not is_leader:
+            return
+        if not profiling and step == args.profile_start:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+            say(f"  profiler trace started -> {args.profile_dir}")
+        elif profiling and step >= args.profile_start + args.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
+            say("  profiler trace stopped")
+
     for epoch in range(start_epoch, args.epochs):
         train_dataset.set_curriculum_epoch(epoch, sample=args.use_curriculum,
                                            sample_size=args.curriculum_ratio)
@@ -302,6 +328,7 @@ def main(argv=None) -> int:
         start_iter = 0
         for batch in loader.iter_from(it):
             watch.mark_data()
+            maybe_profile(global_step)
             paths = batch.get("paths")
             rng, step_key = jax.random.split(rng)
             state, m = train_step(state, to_device(batch), step_key)
@@ -328,12 +355,14 @@ def main(argv=None) -> int:
                     f"lr {get_lr(jax.device_get(state.opt_state)):.2e}")
                 logger.log("train", step=epoch * len(loader) + it,
                            loss=loss, avg_loss=loss_meter.avg,
+                           lr=get_lr(jax.device_get(state.opt_state)),
                            skipped=bool(m["step_skipped"]))
             if args.log_params and it % 100 == 0 and is_leader:
                 logger.log_params(jax.device_get(state.params),
                                   float(m["grad_norm"]),
                                   epoch * len(loader) + it)
             it += 1
+            global_step += 1
             samples_since_ckpt += n_valid
             if (args.checkpoint_per_samples
                     and samples_since_ckpt >= args.checkpoint_per_samples):
@@ -374,6 +403,8 @@ def main(argv=None) -> int:
             save_package(os.path.join(args.save_folder, "best_model.ckpt"),
                          epoch=epoch, iteration=0, avg_loss=loss_meter.avg)
 
+    if profiling:
+        jax.profiler.stop_trace()
     save_package(os.path.join(args.save_folder, "deepspeech_final.ckpt"),
                  epoch=args.epochs - 1, iteration=0)
     logger.close()

@@ -50,18 +50,23 @@ class MetricsLogger:
                     self._tb.add_scalar(f"{event}/{k}", v, step)
 
     def log_params(self, params, grads_norm: float | None, step: int):
-        """Per-tensor L2 norms (the reference logged full histograms,
-        train.py:247-251; norms carry the same signal at 1e-5 the bytes)."""
+        """Per-tensor L2 norms to JSONL (cheap, always), plus full parameter
+        histograms to TensorBoard when enabled — the reference's
+        ``--log-params`` behavior (train.py:247-251)."""
         if not self.enabled:
             return
         import jax
         import numpy as np
 
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
-        norms = {"/".join(str(getattr(k, "key", k)) for k in path):
-                 float(np.linalg.norm(np.asarray(leaf)))
+        named = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
                  for path, leaf in flat}
+        norms = {name: float(np.linalg.norm(np.asarray(leaf)))
+                 for name, leaf in named.items()}
         self.log("params", step=step, grad_norm=grads_norm, norms=norms)
+        if self._tb:
+            for name, leaf in named.items():
+                self._tb.add_histogram(name, np.asarray(leaf), step)
 
     def close(self):
         if self._file:
