@@ -134,11 +134,19 @@ def ctc_beam_search(log_probs: np.ndarray, beam_width: int = 10,
 
 
 class BeamCTCDecoder(Decoder):
-    """Drop-in for the reference BeamCTCDecoder (decoder.py:90-143)."""
+    """Drop-in for the reference BeamCTCDecoder (decoder.py:90-143).
+
+    ``backend`` selects the search implementation: ``"native"`` (the C++
+    decoder in native/beam_search.cpp — the ctcdecode-equivalent fast path),
+    ``"python"`` (this module's reference implementation), or ``"auto"``
+    (native when the toolchain/library is available). Both backends produce
+    bit-identical hypotheses.
+    """
 
     def __init__(self, labels, lm_path=None, alpha=0.8, beta=1.0,
                  cutoff_top_n=40, cutoff_prob=1.0, beam_width=10,
-                 num_processes=4, blank_index=0, top_paths=1):
+                 num_processes=4, blank_index=0, top_paths=1,
+                 backend="auto"):
         super().__init__(labels, blank_index=blank_index)
         self.beam_width = beam_width
         self.cutoff_top_n = cutoff_top_n
@@ -147,10 +155,22 @@ class BeamCTCDecoder(Decoder):
         self.alpha = alpha
         self.beta = beta
         self.num_processes = max(1, num_processes)
-        self.lm = load_lm(lm_path)
+
+        from deepspeech_tpu.decoders import beam_native
+        if backend == "auto":
+            backend = "native" if beam_native.available() else "python"
+        elif backend == "native" and not beam_native.available():
+            raise RuntimeError("native beam decoder unavailable (no toolchain)")
+        self.backend = backend
+        if backend == "native":
+            self._search = beam_native.ctc_beam_search_native
+            self.lm = beam_native.NativeArpaLM(lm_path) if lm_path else None
+        else:
+            self._search = ctc_beam_search
+            self.lm = load_lm(lm_path)
 
     def _decode_one(self, log_probs: np.ndarray):
-        hyps = ctc_beam_search(
+        hyps = self._search(
             log_probs, beam_width=self.beam_width, blank=self.blank_index,
             cutoff_top_n=self.cutoff_top_n, cutoff_prob=self.cutoff_prob,
             space_index=self.space_index if self.lm is not None else None,

@@ -72,6 +72,25 @@ def load_native():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.bs_lm_load.restype = ctypes.c_void_p
+            lib.bs_lm_load.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.bs_lm_free.restype = None
+            lib.bs_lm_free.argtypes = [ctypes.c_void_p]
+            lib.bs_lm_order.restype = ctypes.c_int32
+            lib.bs_lm_order.argtypes = [ctypes.c_void_p]
+            lib.bs_lm_score_word.restype = ctypes.c_double
+            lib.bs_lm_score_word.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ]
+            lib.bs_decode.restype = ctypes.c_int32
+            lib.bs_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_void_p, ctypes.c_double,
+                ctypes.c_double, ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except OSError:
             _build_failed = True
