@@ -238,7 +238,7 @@ def normalize_spectrogram_batch(spect: jnp.ndarray, frame_lengths: jnp.ndarray,
 
 def featurize_batch(audio: jnp.ndarray, audio_lengths: jnp.ndarray,
                     conf: AudioConf, normalize: str = "max_frame",
-                    method: str = "matmul",
+                    method: str = "auto",
                     jitter: jnp.ndarray | None = None,
                     aug_key=None):
     """Padded waveforms -> normalized spectrograms, fully on device.

@@ -76,7 +76,21 @@ def stft_magnitude(
     With ``center=True``, frame t is centered at t*hop (librosa convention,
     T = 1 + S//hop). Input may already be reflect-padded, in which case pass
     ``center=False``.
+
+    ``method="auto"`` picks the fused Pallas kernel on TPU (batched input,
+    hop | n_fft) and the matmul lowering otherwise; ``method="pallas"``
+    forces the kernel.
     """
+    if method in ("auto", "pallas"):
+        from deepspeech_tpu.ops.pallas import stft_kernel
+        from deepspeech_tpu.ops.pallas.rnn_kernel import pallas_supported
+        eligible = y.ndim == 2 and stft_kernel.supported(n_fft, hop)
+        if method == "pallas" or (eligible and pallas_supported()):
+            if not eligible:
+                raise ValueError("pallas stft needs (B, S) input and hop | n_fft")
+            return stft_kernel.stft_magnitude_pallas(
+                y, n_fft, hop, window, center=center)
+        method = "matmul"
     if center:
         y = reflect_pad_1d(y, n_fft // 2)
     frames = frame_signal(y, n_fft, hop)

@@ -56,7 +56,7 @@ class StepConfig:
     audio_conf: AudioConf = AudioConf()
     normalize: str = "max_frame"
     from_audio: bool = True      # batch carries raw audio (device featurize)
-    stft_method: str = "matmul"
+    stft_method: str = "auto"    # pallas kernel on TPU, matmul elsewhere
     max_frame_jitter: bool = True  # reference data_loader_aug.py:213-214
 
 
