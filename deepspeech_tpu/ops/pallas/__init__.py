@@ -5,6 +5,7 @@ an ``impl=`` switch (default ``"auto"``: Pallas on TPU when supported,
 XLA everywhere else).
 """
 
-from deepspeech_tpu.ops.pallas.rnn_kernel import gru_scan_pallas, pallas_supported
+from deepspeech_tpu.ops.pallas.rnn_kernel import (
+    gru_scan_pallas, lstm_scan_pallas, pallas_supported)
 
-__all__ = ["gru_scan_pallas", "pallas_supported"]
+__all__ = ["gru_scan_pallas", "lstm_scan_pallas", "pallas_supported"]

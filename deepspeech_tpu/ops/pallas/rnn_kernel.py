@@ -286,3 +286,228 @@ def _gru_scan_bwd(nrows, interpret, res, dout):
 
 
 gru_scan_pallas.defvjp(_gru_scan_fwd, _gru_scan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LSTM — same architecture as the GRU kernel: W_hh pinned in VMEM, chunked
+# sequential grid, analytic reverse-time backward. Torch gate order i,f,g,o
+# (reference model.py:13-16 exposes nn.LSTM via rnn_type="lstm").
+# ---------------------------------------------------------------------------
+
+
+def _lstm_fwd_kernel(nrows, chunk, with_residuals,
+                     xp_ref, w_ref, b_ref, *out_refs):
+    """xp_ref: (chunk, R, 4H) bf16; w_ref: (D, H, 4H) bf16; b_ref: (D, 4H) f32.
+
+    outputs: h (chunk, R, H) f32, c (chunk, R, H) f32
+             [+ gates (chunk, R, 4H) bf16 when training]
+    scratch: state (2, R, H) f32 — rows 0 = h, 1 = c
+    """
+    if with_residuals:
+        h_ref, c_ref, g_ref, state = out_refs
+    else:
+        h_ref, c_ref, state = out_refs
+    ndir = w_ref.shape[0]
+    hidden = w_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        state[:] = jnp.zeros_like(state)
+
+    for j in range(chunk):
+        xp_t = xp_ref[j].astype(jnp.float32)  # (R, 4H)
+        for d in range(ndir):
+            rows = slice(d * nrows, (d + 1) * nrows)
+            h_prev = state[0, rows]
+            c_prev = state[1, rows]
+            gates = (
+                xp_t[rows]
+                + jnp.dot(h_prev.astype(w_ref.dtype), w_ref[d],
+                          preferred_element_type=jnp.float32)
+                + b_ref[d][None, :]
+            )
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c_prev + i * g
+            h_new = o * jnp.tanh(c_new)
+            state[0, rows] = h_new
+            state[1, rows] = c_new
+            h_ref[j, rows] = h_new
+            c_ref[j, rows] = c_new
+            if with_residuals:
+                g_ref[j, rows, :hidden] = i.astype(g_ref.dtype)
+                g_ref[j, rows, hidden : 2 * hidden] = f.astype(g_ref.dtype)
+                g_ref[j, rows, 2 * hidden : 3 * hidden] = g.astype(g_ref.dtype)
+                g_ref[j, rows, 3 * hidden :] = o.astype(g_ref.dtype)
+
+
+def _lstm_bwd_kernel(nrows, chunk,
+                     dout_ref, g_ref, c_ref, cprev_ref, wt_ref,
+                     dg_ref, state):
+    """Reverse-time analytic LSTM backward; grid runs last chunk first.
+
+    dout_ref:  (chunk, R, H) f32 — incoming dL/dh_t
+    g_ref:     (chunk, R, 4H) bf16 — stored i,f,g,o
+    c_ref:     (chunk, R, H) f32 — c_t
+    cprev_ref: (chunk, R, H) f32 — c_{t-1}
+    wt_ref:    (D, 4H, H) bf16 — W_hh transposed, VMEM-resident
+    dg_ref:    (chunk, R, 4H) f32 out — pre-activation gate grads (== dxp)
+    state:     (2, R, H) f32 scratch — rows 0 = dh carry, 1 = dc carry
+    """
+    ndir = wt_ref.shape[0]
+    hidden = wt_ref.shape[2]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        state[:] = jnp.zeros_like(state)
+
+    for j in reversed(range(chunk)):
+        for d in range(ndir):
+            rows = slice(d * nrows, (d + 1) * nrows)
+            dh_tot = dout_ref[j, rows] + state[0, rows]
+            i = g_ref[j, rows, :hidden].astype(jnp.float32)
+            f = g_ref[j, rows, hidden : 2 * hidden].astype(jnp.float32)
+            g = g_ref[j, rows, 2 * hidden : 3 * hidden].astype(jnp.float32)
+            o = g_ref[j, rows, 3 * hidden :].astype(jnp.float32)
+            tc = jnp.tanh(c_ref[j, rows])
+            c_prev = cprev_ref[j, rows]
+
+            do_pre = dh_tot * tc * o * (1.0 - o)
+            dc_tot = state[1, rows] + dh_tot * o * (1.0 - tc * tc)
+            di_pre = dc_tot * g * i * (1.0 - i)
+            df_pre = dc_tot * c_prev * f * (1.0 - f)
+            dg_pre = dc_tot * i * (1.0 - g * g)
+
+            dg_ref[j, rows, :hidden] = di_pre
+            dg_ref[j, rows, hidden : 2 * hidden] = df_pre
+            dg_ref[j, rows, 2 * hidden : 3 * hidden] = dg_pre
+            dg_ref[j, rows, 3 * hidden :] = do_pre
+
+            dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre],
+                                     axis=-1)
+            state[0, rows] = jnp.dot(dgates.astype(wt_ref.dtype), wt_ref[d],
+                                     preferred_element_type=jnp.float32)
+            state[1, rows] = dc_tot * f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def lstm_scan_pallas(xp, w_hh, b_hh, nrows, interpret=False):
+    """Run the LSTM recurrence over time with a fused Pallas kernel.
+
+    Same contract as ``gru_scan_pallas`` with G=4 (torch order i,f,g,o):
+    xp: (T, R, 4H) f32 direction-stacked; returns h: (T, R, H) f32.
+    """
+    h, _ = _lstm_fwd(xp, w_hh, b_hh, nrows, interpret, with_residuals=False)
+    return h
+
+
+def _lstm_fwd(xp, w_hh, b_hh, nrows, interpret, with_residuals):
+    chunk = _CHUNK
+    xp_p, t = _pad_time(xp, chunk)
+    tp, rws, gh = xp_p.shape
+    ndir, hidden, _ = w_hh.shape
+    nblocks = tp // chunk
+
+    out_shape = [
+        jax.ShapeDtypeStruct((tp, rws, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((tp, rws, hidden), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, rws, hidden), lambda i: (i, 0, 0)),
+        pl.BlockSpec((chunk, rws, hidden), lambda i: (i, 0, 0)),
+    ]
+    if with_residuals:
+        out_shape.append(jax.ShapeDtypeStruct((tp, rws, gh), jnp.bfloat16))
+        out_specs.append(pl.BlockSpec((chunk, rws, gh), lambda i: (i, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, nrows, chunk, with_residuals),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((chunk, rws, gh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ndir, hidden, gh), lambda i: (0, 0, 0)),
+            pl.BlockSpec((ndir, gh), lambda i: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((2, rws, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        xp_p.astype(jnp.bfloat16),
+        w_hh.astype(jnp.bfloat16),
+        b_hh.astype(jnp.float32),
+    )
+    if with_residuals:
+        h_p, c_p, gates = outs
+        return h_p[:t], (xp, w_hh, gates, c_p, h_p, t)
+    return outs[0][:t], None
+
+
+def _lstm_scan_fwd(xp, w_hh, b_hh, nrows, interpret):
+    h, res = _lstm_fwd(xp, w_hh, b_hh, nrows, interpret, with_residuals=True)
+    return h, res
+
+
+def _lstm_scan_bwd(nrows, interpret, res, dout):
+    xp, w_hh, gates, c_p, h_p, t = res
+    chunk = _CHUNK
+    tp, rws, hidden = h_p.shape
+    ndir, _, gh = w_hh.shape
+    nblocks = tp // chunk
+
+    dout_p, _ = _pad_time(dout.astype(jnp.float32), chunk)
+    cprev = jnp.concatenate(
+        [jnp.zeros((1, rws, hidden), jnp.float32), c_p[:-1]], axis=0)
+    hprev = jnp.concatenate(
+        [jnp.zeros((1, rws, hidden), jnp.float32), h_p[:-1]], axis=0)
+
+    rev = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731 — reversed grid walk
+    dgates = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, nrows, chunk),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((chunk, rws, hidden), rev),
+            pl.BlockSpec((chunk, rws, gh), rev),
+            pl.BlockSpec((chunk, rws, hidden), rev),
+            pl.BlockSpec((chunk, rws, hidden), rev),
+            pl.BlockSpec((ndir, gh, hidden), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk, rws, gh), rev),
+        out_shape=jax.ShapeDtypeStruct((tp, rws, gh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, rws, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        dout_p,
+        gates,
+        c_p,
+        cprev,
+        jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16),
+    )
+
+    dgates = dgates[:t]
+    dxp = dgates  # pre-activation grads ARE the xp grads (order i,f,g,o)
+
+    hprev_t = hprev[:t]
+    dw = jnp.stack([
+        jnp.einsum(
+            "trh,trg->hg",
+            hprev_t[:, d * nrows : (d + 1) * nrows],
+            dgates[:, d * nrows : (d + 1) * nrows],
+            preferred_element_type=jnp.float32,
+        )
+        for d in range(ndir)
+    ])
+    db = jnp.stack([
+        dgates[:, d * nrows : (d + 1) * nrows].sum(axis=(0, 1))
+        for d in range(ndir)
+    ])
+    return dxp, dw.astype(w_hh.dtype), db
+
+
+lstm_scan_pallas.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)

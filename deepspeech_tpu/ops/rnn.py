@@ -91,7 +91,7 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     accumulations stay float32.
 
     ``impl`` selects the recurrence lowering: ``"xla"`` (lax.scan),
-    ``"pallas"`` (fused Pallas TPU kernel, GRU+bf16 only),
+    ``"pallas"`` (fused Pallas TPU kernel, GRU/LSTM + bf16 only),
     ``"pallas_interpret"`` (Pallas interpreter, for CPU tests), or
     ``"auto"`` (Pallas when on TPU and supported, else XLA).
     """
@@ -103,7 +103,7 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
 
     from deepspeech_tpu.ops.pallas import pallas_supported
 
-    use_pallas = cell == "gru" and compute_dtype is not None and (
+    use_pallas = cell in ("gru", "lstm") and compute_dtype is not None and (
         impl in ("pallas", "pallas_interpret")
         or (impl == "auto" and pallas_supported()))
 
@@ -122,13 +122,14 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
 
     if use_pallas:
-        from deepspeech_tpu.ops.pallas import gru_scan_pallas
+        from deepspeech_tpu.ops.pallas import gru_scan_pallas, lstm_scan_pallas
 
+        scan_pallas = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
         # direction-stacked rows: (T, D*B, G*H)
         xp_rows = jnp.moveaxis(xp, 0, 1).reshape(t, d * b, gates * hidden)
-        h = gru_scan_pallas(xp_rows, w_hh.astype(jnp.float32),
-                            b_hh.astype(jnp.float32), b,
-                            impl == "pallas_interpret")
+        h = scan_pallas(xp_rows, w_hh.astype(jnp.float32),
+                        b_hh.astype(jnp.float32), b,
+                        impl == "pallas_interpret")
         out = jnp.moveaxis(h.reshape(t, d, b, hidden), 0, 1)  # (D, T, B, H)
     else:
         h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
