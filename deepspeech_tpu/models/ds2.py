@@ -33,6 +33,7 @@ from deepspeech_tpu.models.layers import (
     hardtanh_0_20,
     length_mask,
 )
+from deepspeech_tpu.ops.banded_conv import banded_conv2d
 from deepspeech_tpu.ops.rnn import CELL_GATES, rnn_scan
 
 N_BINS = 161
@@ -83,8 +84,25 @@ class RecurrentLayer(nn.Module):
                         compute_dtype=self.compute_dtype)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching flax.linen.Conv's tree (kernel HWIO + bias),
+    so checkpoints are interchangeable with an nn.Conv-based front-end."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return kernel, bias
+
+
 class ConvFrontend(nn.Module):
-    """Masked 2-conv front (MaskConv stack, model.py:208-215)."""
+    """Masked 2-conv front (MaskConv stack, model.py:208-215), lowered as
+    frequency-banded MXU matmuls (ops/banded_conv.py) in (B, T, F·C) layout —
+    XLA's conv lowering left 3/4 of the MXU lanes idle and drowned in
+    NCHW/NHWC transposes (~46 ms of a 93 ms train step)."""
 
     bnm: float = 0.1
     compute_dtype: Any = None
@@ -92,26 +110,28 @@ class ConvFrontend(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, out_lengths: jnp.ndarray,
                  train: bool) -> jnp.ndarray:
-        # x: (B, 161, T) -> NHWC (B, freq, time, 1)
-        x = x[..., None]
+        # x: (B, 161, T) -> (B, T, 161); time on sublanes, freq on lanes
+        x = jnp.swapaxes(x, 1, 2)
+        k0, b0 = _ConvParams((41, 11, 1, 32), name="conv0")()
+        k1, b1 = _ConvParams((21, 11, 32, 32), name="conv1")()
         specs = [
-            dict(features=32, kernel_size=(41, 11), strides=(2, 2),
-                 padding=((20, 20), (5, 5))),
-            dict(features=32, kernel_size=(21, 11), strides=(2, 1),
-                 padding=((10, 10), (5, 5))),
+            (k0, b0, 161, 81, (2, 2), (20, 5)),
+            (k1, b1, 81, 41, (2, 1), (10, 5)),
         ]
-        for i, spec in enumerate(specs):
-            x = nn.Conv(**spec, use_bias=True, dtype=self.compute_dtype,
-                        name=f"conv{i}")(x)
-            x = x.astype(jnp.float32)  # BN/activation/mask stay f32
-            mask = length_mask(out_lengths, x.shape[2], x.dtype)[:, None, :, None]
+        for i, (k, bias, f_in, f_out, strides, pad) in enumerate(specs):
+            x = banded_conv2d(x, k, bias, f_in, f_out, strides, pad,
+                              self.compute_dtype)  # (B, T', f_out*32) f32
+            mask = length_mask(out_lengths, x.shape[1], x.dtype)[:, :, None]
             x = x * mask
+            b_, t_, n_ = x.shape
+            x = x.reshape(b_, t_, f_out, k.shape[-1])
             x = TorchBatchNorm(momentum=self.bnm, name=f"bn{i}")(x, train)
+            x = x.reshape(b_, t_, n_)
             x = x * mask
             x = hardtanh_0_20(x)
             # hardtanh(0) == 0, but keep the re-mask for exact MaskConv parity
             x = x * mask
-        return x  # (B, 41, T', 32)
+        return x  # (B, T', 41*32), lane order f*32 + c
 
 
 class DeepSpeech2(nn.Module):
@@ -138,13 +158,14 @@ class DeepSpeech2(nn.Module):
         x = ConvFrontend(bnm=self.bnm, compute_dtype=self.compute_dtype,
                          name="conv")(x, out_lengths, train)
 
-        # collapse freq: (B, F=41, T', C=32) -> feature index c*41+f for
-        # weight-porting parity with the reference's view() (model.py:360-362)
-        b, f, t, c = x.shape
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c * f, t)
-        x = jnp.transpose(x, (2, 0, 1))  # (T', B, 1312) time-major
+        # reorder features (f*32+c) -> c*41+f for weight-porting parity with
+        # the reference's view() (model.py:360-362), then go time-major
+        b, t, n = x.shape
+        f, c = 41, 32
+        x = jnp.swapaxes(x.reshape(b, t, f, c), 2, 3).reshape(b, t, n)
+        x = jnp.swapaxes(x, 0, 1)  # (T', B, 1312) time-major
 
-        rnn_input = c * f
+        rnn_input = n
         for i in range(self.hidden_layers):
             x = RecurrentLayer(
                 input_size=rnn_input if i == 0 else self.hidden_size,
