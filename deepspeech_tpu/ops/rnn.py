@@ -118,11 +118,32 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
     xp = jnp.einsum("tbf,dfg->dtbg", x, w_ih,
                     preferred_element_type=jnp.float32) \
         + b_ih[:, None, None, :].astype(jnp.float32)
-    if bidirectional:
-        xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
 
     if use_pallas:
         from deepspeech_tpu.ops.pallas import gru_scan_pallas, lstm_scan_pallas
+
+        if bidirectional:
+            # Direction 1 runs on the plain time-FLIPPED stream (an XLA
+            # reverse — the per-sample gather `_reverse_in_length` costs
+            # ~1.65 ms/layer on TPU). In flipped coordinates each sample's
+            # padding comes FIRST; gate overrides freeze the state through
+            # it so the recurrence effectively starts at the sample's last
+            # valid frame: sigmoid(40) == 1 exactly in f32, so the GRU
+            # update gate carries h (= 0) unchanged, and the LSTM forget/
+            # input gates carry c (= 0) unchanged. The analytic backward
+            # kernels see z==1 / f==1, i==0 and emit exactly-zero gate
+            # grads at those steps.
+            xp1 = jnp.flip(xp[1], axis=0)
+            padm = (jnp.arange(t)[:, None] < (t - lengths)[None, :])[..., None]
+            if cell == "gru":
+                z = jnp.where(padm, 40.0, xp1[..., hidden:2 * hidden])
+                xp1 = jnp.concatenate(
+                    [xp1[..., :hidden], z, xp1[..., 2 * hidden:]], axis=-1)
+            else:  # lstm
+                i = jnp.where(padm, -40.0, xp1[..., :hidden])
+                f = jnp.where(padm, 40.0, xp1[..., hidden:2 * hidden])
+                xp1 = jnp.concatenate([i, f, xp1[..., 2 * hidden:]], axis=-1)
+            xp = jnp.stack([xp[0], xp1])
 
         scan_pallas = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
         # direction-stacked rows: (T, D*B, G*H)
@@ -131,7 +152,12 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
                         b_hh.astype(jnp.float32), b,
                         impl == "pallas_interpret")
         out = jnp.moveaxis(h.reshape(t, d, b, hidden), 0, 1)  # (D, T, B, H)
+        if bidirectional:
+            # undo the flip: position s < len maps to flipped t = T-1-s
+            out = out.at[1].set(jnp.flip(out[1], axis=0))
     else:
+        if bidirectional:
+            xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
         h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
         if cell == "lstm":
             init = (h0, jnp.zeros_like(h0))
@@ -151,8 +177,8 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         # the state, so one scan serves the whole layer.
         _, out = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
         out = jnp.swapaxes(out, 0, 1)  # (D, T, B, H)
-    if bidirectional:
-        out = out.at[1].set(_reverse_in_length(out[1], lengths))
+        if bidirectional:
+            out = out.at[1].set(_reverse_in_length(out[1], lengths))
 
     mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(out.dtype)
     out = out * mask[None, :, :, None]
