@@ -113,41 +113,49 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         if not use_pallas:
             w_hh = w_hh.astype(compute_dtype)
 
-    # Input projection for every (direction, timestep) in one matmul.
-    # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
-    xp = jnp.einsum("tbf,dfg->dtbg", x, w_ih,
-                    preferred_element_type=jnp.float32) \
-        + b_ih[:, None, None, :].astype(jnp.float32)
-
     if use_pallas:
         from deepspeech_tpu.ops.pallas import gru_scan_pallas, lstm_scan_pallas
 
+        # Direction 1 runs on the plain time-FLIPPED input stream (an XLA
+        # reverse of the small (T,B,F) input — the per-sample gather
+        # `_reverse_in_length` on the 3x wider projections costs
+        # ~1.65 ms/layer on TPU). In flipped coordinates each sample's
+        # padding comes FIRST; gate overrides freeze the state through it so
+        # the recurrence effectively starts at the sample's last valid
+        # frame: sigmoid(40) == 1 exactly in f32, so the GRU update gate
+        # carries h (= 0) unchanged, and the LSTM forget/input gates carry
+        # c (= 0) unchanged. The analytic backward kernels see z==1 / f==1,
+        # i==0 and emit exactly-zero gate grads at those steps.
         if bidirectional:
-            # Direction 1 runs on the plain time-FLIPPED stream (an XLA
-            # reverse — the per-sample gather `_reverse_in_length` costs
-            # ~1.65 ms/layer on TPU). In flipped coordinates each sample's
-            # padding comes FIRST; gate overrides freeze the state through
-            # it so the recurrence effectively starts at the sample's last
-            # valid frame: sigmoid(40) == 1 exactly in f32, so the GRU
-            # update gate carries h (= 0) unchanged, and the LSTM forget/
-            # input gates carry c (= 0) unchanged. The analytic backward
-            # kernels see z==1 / f==1, i==0 and emit exactly-zero gate
-            # grads at those steps.
-            xp1 = jnp.flip(xp[1], axis=0)
+            x_stack = jnp.stack([x, jnp.flip(x, axis=0)], axis=1)
+        else:
+            x_stack = x[:, None]
+        # one batched matmul, already in the kernel's (T, D, B, G*H) order —
+        # the (T, D*B, G*H) row layout is then a free reshape. (The CPU
+        # backend lacks batched bf16 dots; interpret-mode tests run it f32.)
+        w_proj = w_ih
+        if impl == "pallas_interpret":
+            x_stack = x_stack.astype(jnp.float32)
+            w_proj = w_ih.astype(jnp.float32)
+        xp = jnp.einsum("tdbf,dfg->tdbg", x_stack, w_proj,
+                        preferred_element_type=jnp.float32) \
+            + b_ih[None, :, None, :].astype(jnp.float32)
+        if bidirectional:
             padm = (jnp.arange(t)[:, None] < (t - lengths)[None, :])[..., None]
             if cell == "gru":
-                z = jnp.where(padm, 40.0, xp1[..., hidden:2 * hidden])
+                z = jnp.where(padm, 40.0, xp[:, 1, :, hidden:2 * hidden])
                 xp1 = jnp.concatenate(
-                    [xp1[..., :hidden], z, xp1[..., 2 * hidden:]], axis=-1)
+                    [xp[:, 1, :, :hidden], z, xp[:, 1, :, 2 * hidden:]],
+                    axis=-1)
             else:  # lstm
-                i = jnp.where(padm, -40.0, xp1[..., :hidden])
-                f = jnp.where(padm, 40.0, xp1[..., hidden:2 * hidden])
-                xp1 = jnp.concatenate([i, f, xp1[..., 2 * hidden:]], axis=-1)
-            xp = jnp.stack([xp[0], xp1])
+                i = jnp.where(padm, -40.0, xp[:, 1, :, :hidden])
+                f = jnp.where(padm, 40.0, xp[:, 1, :, hidden:2 * hidden])
+                xp1 = jnp.concatenate([i, f, xp[:, 1, :, 2 * hidden:]],
+                                      axis=-1)
+            xp = jnp.stack([xp[:, 0], xp1], axis=1)
 
         scan_pallas = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
-        # direction-stacked rows: (T, D*B, G*H)
-        xp_rows = jnp.moveaxis(xp, 0, 1).reshape(t, d * b, gates * hidden)
+        xp_rows = xp.reshape(t, d * b, gates * hidden)
         h = scan_pallas(xp_rows, w_hh.astype(jnp.float32),
                         b_hh.astype(jnp.float32), b,
                         impl == "pallas_interpret")
@@ -156,6 +164,11 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
             # undo the flip: position s < len maps to flipped t = T-1-s
             out = out.at[1].set(jnp.flip(out[1], axis=0))
     else:
+        # Input projection for every (direction, timestep) in one matmul.
+        # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
+        xp = jnp.einsum("tbf,dfg->dtbg", x, w_ih,
+                        preferred_element_type=jnp.float32) \
+            + b_ih[:, None, None, :].astype(jnp.float32)
         if bidirectional:
             xp = xp.at[1].set(_reverse_in_length(xp[1], lengths))
         h0 = jnp.zeros((d, b, hidden), jnp.float32)  # state stays f32
