@@ -102,6 +102,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="audio padding granularity (static XLA shapes)")
     p.add_argument("--max-items", default=0, type=int,
                    help="truncate manifests (debug)")
+    # multi-host (reference --dist-url/--rank/--world-size, train.py:97-103;
+    # on TPU pods with a metadata service, omit all three — jax
+    # auto-discovers the topology)
+    p.add_argument("--dist-url", default="",
+                   help="coordinator address host:port for multi-host "
+                        "training (jax.distributed rendezvous)")
+    p.add_argument("--dist-rank", default=-1, type=int,
+                   help="this process's index (with --dist-url)")
+    p.add_argument("--dist-world-size", default=0, type=int,
+                   help="total number of processes (with --dist-url)")
+    p.add_argument("--dist-init", action="store_true",
+                   help="call jax.distributed.initialize() with "
+                        "auto-discovery (TPU pod environments)")
     return p
 
 
@@ -121,6 +134,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    # Multi-host rendezvous BEFORE any other jax use (replaces the
+    # reference's dist.init_process_group TCP rendezvous, train.py:804-809).
+    if args.dist_url:
+        jax.distributed.initialize(coordinator_address=args.dist_url,
+                                   num_processes=args.dist_world_size,
+                                   process_id=args.dist_rank)
+    elif args.dist_init:
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
 
     from deepspeech_tpu.audio import AudioConf
