@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-shuffle", action="store_true")
     p.add_argument("--no-sortaGrad", dest="no_sorta_grad",
                    action="store_true")
+    p.add_argument("--reverse-sort", dest="reverse_sort", action="store_true",
+                   help="process longest utterances first on the SortaGrad "
+                        "epoch (max-memory smoke test, reference "
+                        "train.py:93-94)")
     # observability
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--log-dir", default="visualize/deepspeech_final")
@@ -341,6 +345,10 @@ def main(argv=None) -> int:
         # SortaGrad: no shuffle on epoch 0 (reference train.py:89-94, 669-671)
         if not args.no_shuffle and (epoch > 0 or args.no_sorta_grad):
             sampler.shuffle(epoch)
+        elif args.reverse_sort:
+            # longest-first: peak memory load on the very first batches
+            # (reference train.py:93-94, 933-935)
+            sampler.reverse()
         loader = AudioDataLoader(train_dataset, sampler, per_host_batch,
                                  bucket, args.num_workers)
 

@@ -45,6 +45,13 @@ class BucketingSampler:
         self._rng = np.random.default_rng(epoch)
         self._rng.shuffle(self.bins)
 
+    def reverse(self):
+        """Longest-first ordering — the reference's --reverse-sort 'hack to
+        test max memory load' (train.py:93-94, 933-935): the manifest is
+        duration-sorted ascending, so reversed bins hit peak padded shapes
+        immediately instead of at epoch end."""
+        self.bins = list(reversed(self.bins))
+
 
 class DistributedBucketingSampler:
     """Rank-strided bins, padded to a world-size multiple
@@ -72,3 +79,7 @@ class DistributedBucketingSampler:
         # epoch-seeded so every rank derives the identical permutation
         perm = np.random.default_rng(epoch).permutation(len(self.bins))
         self.bins = [self.bins[i] for i in perm]
+
+    def reverse(self):
+        """Longest-first bins (reference --reverse-sort, train.py:93-94)."""
+        self.bins = list(reversed(self.bins))
