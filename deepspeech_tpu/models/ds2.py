@@ -115,12 +115,15 @@ class ConvFrontend(nn.Module):
         k0, b0 = _ConvParams((41, 11, 1, 32), name="conv0")()
         k1, b1 = _ConvParams((21, 11, 32, 32), name="conv1")()
         specs = [
-            (k0, b0, 161, 81, (2, 2), (20, 5)),
-            (k1, b1, 81, 41, (2, 1), (10, 5)),
+            # conv2 splits output freqs 4 ways: the 21-tap band only needs a
+            # 41-of-81 input window per 11-freq group — half the FLOPs/bytes
+            (k0, b0, 161, 81, (2, 2), (20, 5), 1),
+            (k1, b1, 81, 41, (2, 1), (10, 5), 4),
         ]
-        for i, (k, bias, f_in, f_out, strides, pad) in enumerate(specs):
+        for i, (k, bias, f_in, f_out, strides, pad, fg) in enumerate(specs):
             x = banded_conv2d(x, k, bias, f_in, f_out, strides, pad,
-                              self.compute_dtype)  # (B, T', f_out*32) f32
+                              self.compute_dtype,
+                              freq_groups=fg)  # (B, T', f_out*32) f32
             mask = length_mask(out_lengths, x.shape[1], x.dtype)[:, :, None]
             x = x * mask
             b_, t_, n_ = x.shape

@@ -42,31 +42,22 @@ def band_select(f_in: int, f_out: int, k_f: int, stride_f: int,
     return (fin == stride_f * f + df - pad_f).astype(np.float32)
 
 
-def banded_weights(kernel: jnp.ndarray, f_in: int, f_out: int,
-                   stride_f: int, pad_f: int,
-                   compute_dtype=None) -> jnp.ndarray:
-    """Scatter an HWIO conv kernel (k_f, k_t, C_in, C_out) into banded matmul
-    form (k_t, f_in*C_in, f_out*C_out). Pure einsum against a constant 0/1
-    tensor, so the VJP is the transposed einsum (also a matmul)."""
-    k_f, k_t, c_in, c_out = kernel.shape
-    s = jnp.asarray(band_select(f_in, f_out, k_f, stride_f, pad_f))
-    wb = jnp.einsum("dkf,dtio->tkifo", s, kernel,
-                    preferred_element_type=jnp.float32)
-    wb = wb.reshape(k_t, f_in * c_in, f_out * c_out)
-    if compute_dtype is not None:
-        wb = wb.astype(compute_dtype)
-    return wb
-
-
 def banded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   f_in: int, f_out: int, strides: tuple[int, int],
-                  padding: tuple[int, int], compute_dtype=None) -> jnp.ndarray:
+                  padding: tuple[int, int], compute_dtype=None,
+                  freq_groups: int = 1) -> jnp.ndarray:
     """Banded-matmul 2-D conv.
 
     x: (B, T, f_in*C_in) — frequency(+channel) on lanes, time on sublanes.
     kernel: (k_f, k_t, C_in, C_out) HWIO (flax.linen.Conv layout).
     bias: (C_out,). strides/padding: (freq, time) with symmetric time pad.
     Returns (B, T_out, f_out*C_out) float32, T_out = (T + 2p_t - k_t)//s_t + 1.
+
+    ``freq_groups`` splits the output frequencies into contiguous groups,
+    each contracting only its own (narrower) input-frequency window — the
+    dense band wastes FLOPs by a factor f_in/(k_f + s_f·(gs-1)); grouping
+    trades a little lane width for roughly halving conv2's compute and
+    banded-weight footprint in the DS2 stack.
     """
     k_f, k_t, c_in, c_out = kernel.shape
     s_f, s_t = strides
@@ -74,18 +65,37 @@ def banded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     b, t, _ = x.shape
     t_out = (t + 2 * p_t - k_t) // s_t + 1
 
-    wb = banded_weights(kernel, f_in, f_out, s_f, p_f, compute_dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     xp = jnp.pad(x, ((0, 0), (p_t, p_t), (0, 0)))
 
-    y = None
-    for dt in range(k_t):
-        x_dt = jax.lax.slice(
-            xp, (0, dt, 0), (b, dt + s_t * (t_out - 1) + 1, xp.shape[2]),
-            (1, s_t, 1))
-        part = jnp.einsum("btk,kn->btn", x_dt, wb[dt],
-                          preferred_element_type=jnp.float32)
-        y = part if y is None else y + part
-    # bias is per C_out; the lane index is f*C_out + c
-    return y + jnp.tile(bias, f_out).astype(jnp.float32)
+    gs = -(-f_out // max(freq_groups, 1))  # output freqs per group (ceil)
+    groups = []
+    for g0 in range(0, f_out, gs):
+        g1 = min(g0 + gs, f_out)
+        # input band feeding outputs [g0, g1): fin = s_f*f + df - p_f
+        lo = max(0, s_f * g0 - p_f)
+        hi = min(f_in, s_f * (g1 - 1) - p_f + k_f)
+        groups.append((g0, g1, lo, hi))
+
+    outs = []
+    for g0, g1, lo, hi in groups:
+        # same banding, shifted into the group's local coordinates
+        sel = band_select(hi - lo, g1 - g0, k_f, s_f,
+                          p_f - s_f * g0 + lo)
+        wb = jnp.einsum("dkf,dtio->tkifo", jnp.asarray(sel), kernel,
+                        preferred_element_type=jnp.float32)
+        wb = wb.reshape(k_t, (hi - lo) * c_in, (g1 - g0) * c_out)
+        if compute_dtype is not None:
+            wb = wb.astype(compute_dtype)
+        y = None
+        for dt in range(k_t):
+            x_dt = jax.lax.slice(
+                xp, (0, dt, lo * c_in),
+                (b, dt + s_t * (t_out - 1) + 1, hi * c_in),
+                (1, s_t, 1))
+            part = jnp.einsum("btk,kn->btn", x_dt, wb[dt],
+                              preferred_element_type=jnp.float32)
+            y = part if y is None else y + part
+        outs.append(y + jnp.tile(bias, g1 - g0).astype(jnp.float32))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)

@@ -34,8 +34,10 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("freq_groups", [1, 3, 4])
 @pytest.mark.parametrize("f_in,c_in,c_out,k_f,k_t,strides,padding", CASES)
-def test_matches_lax_conv(f_in, c_in, c_out, k_f, k_t, strides, padding):
+def test_matches_lax_conv(f_in, c_in, c_out, k_f, k_t, strides, padding,
+                          freq_groups):
     rng = np.random.default_rng(0)
     b, t = 2, 37
     x = jnp.asarray(rng.standard_normal((b, t, f_in * c_in)), jnp.float32)
@@ -44,7 +46,8 @@ def test_matches_lax_conv(f_in, c_in, c_out, k_f, k_t, strides, padding):
     bias = jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32)
 
     f_out = (f_in + 2 * padding[0] - k_f) // strides[0] + 1
-    got = banded_conv2d(x, kernel, bias, f_in, f_out, strides, padding)
+    got = banded_conv2d(x, kernel, bias, f_in, f_out, strides, padding,
+                        freq_groups=freq_groups)
     want = _oracle(x, kernel, bias, f_in, strides, padding)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -64,7 +67,7 @@ def test_gradients_match_lax_conv():
 
     def loss_banded(x, k, bia):
         return jnp.sum(banded_conv2d(x, k, bia, f_in, f_out, strides,
-                                     padding) ** 2)
+                                     padding, freq_groups=3) ** 2)
 
     def loss_oracle(x, k, bia):
         return jnp.sum(_oracle(x, k, bia, f_in, strides, padding) ** 2)
