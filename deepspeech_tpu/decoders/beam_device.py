@@ -77,7 +77,6 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     prefixes, offsets, lens, last, h1, h2, p_b, p_nb = state
     lp, t, t_valid = inputs
     k, c = prefixes.shape[0], lp.shape[0]
-    n = k * (c + 1)
 
     # Padded steps decode a certain blank: every beam keeps its score.
     onehot_blank = jnp.where(jnp.arange(c) == blank, 0.0, NEG_INF)
@@ -87,7 +86,7 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     total = jnp.logaddexp(p_b, p_nb)  # (K,)
     parent_ok = total > NEG_INF
 
-    # --- candidate grid (K, C+1): col 0 stay, col c+1 extend with char c ---
+    # --- candidates: K stays + (K, C) extends ---
     last_c = jnp.clip(last, 0, c - 1)
     stay_pb = total + lp[blank]
     stay_pnb = jnp.where(lens > 0, p_nb + lp[last_c], NEG_INF)
@@ -97,54 +96,77 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     ext_ok = (parent_ok[:, None] & (jnp.arange(c)[None, :] != blank)
               & (lens[:, None] < max_len) & (ext > NEG_INF))
 
-    pb_flat = jnp.concatenate([stay_pb[:, None],
-                               jnp.full((k, c), NEG_INF)], 1).reshape(n)
-    pnb_flat = jnp.concatenate([stay_pnb[:, None], ext], 1).reshape(n)
-    valid = jnp.concatenate([parent_ok[:, None], ext_ok], 1).reshape(n)
-
     # rolling hashes: stay keeps the parent's, extend appends char c
     char_grid = jnp.arange(c)[None, :] + 1  # 1-based so char 0 != "empty"
     eh1 = (h1[:, None] * _HASH_M1 + char_grid).astype(jnp.int32)
     eh2 = (h2[:, None] * _HASH_M2 + char_grid).astype(jnp.int32)
-    h1_flat = jnp.concatenate([h1[:, None], eh1], 1).reshape(n)
-    h2_flat = jnp.concatenate([h2[:, None], eh2], 1).reshape(n)
-    # invalid rows get unique sentinel hashes so they can't absorb a group
-    sent = -(jnp.arange(n, dtype=jnp.int32) + 2)
-    h1_flat = jnp.where(valid, h1_flat, sent)
-    h2_flat = jnp.where(valid, h2_flat, sent)
+    # invalid extends get unique sentinels disjoint from the beam-row
+    # sentinels (which live in [-(k+1), -2]) so they can't match anything
+    sent_ext = -(jnp.arange(k * c, dtype=jnp.int32).reshape(k, c) + k + 2)
+    eh1 = jnp.where(ext_ok, eh1, sent_ext)
+    eh2 = jnp.where(ext_ok, eh2, sent_ext)
 
-    # --- exact merge of identical prefixes (group by hash pair) ---
-    eq = ((h1_flat[:, None] == h1_flat[None, :])
-          & (h2_flat[:, None] == h2_flat[None, :]))
-    owner = jnp.argmax(eq, axis=1)  # first member of each group
-    is_owner = owner == jnp.arange(n)
-    merged_pb = _masked_lse(jnp.broadcast_to(pb_flat[None, :], (n, n)), eq, 1)
-    merged_pnb = _masked_lse(jnp.broadcast_to(pnb_flat[None, :], (n, n)), eq, 1)
-    score = jnp.logaddexp(merged_pb, merged_pnb)
-    score = jnp.where(is_owner & valid, score, NEG_INF)
+    # --- exact merge. Beam prefixes are pairwise-distinct, so two stays
+    # never collide, and extends of equal length collide only if parent+char
+    # coincide — i.e. never. The ONLY merge is extend(i,c) == stay(j):
+    # an O(K^2 C) comparison instead of the O((KC)^2) all-pairs grid.
+    eq = ((eh1[:, :, None] == h1[None, None, :])
+          & (eh2[:, :, None] == h2[None, None, :]))  # (K, C, K)
+    ext_absorbed = eq.any(-1)  # (K, C)
+    ext_flat = ext.reshape(k * c)
+    # mass of absorbed extends joins the matching stay's non-blank prob
+    add_pnb = _masked_lse(jnp.broadcast_to(ext_flat[:, None], (k * c, k)),
+                          eq.reshape(k * c, k), 0)  # (K,)
+    stay_pnb = jnp.logaddexp(stay_pnb, add_pnb)
 
-    # --- select beams and rebuild prefix rows ---
+    stay_score = jnp.where(parent_ok,
+                           jnp.logaddexp(stay_pb, stay_pnb), NEG_INF)
+    ext_score = jnp.where(ext_ok & ~ext_absorbed, ext, NEG_INF).reshape(k * c)
+
+    # Offsets parity with the host decoder's first-insert-wins rule (beams
+    # are processed in score order = row order): when an absorbed extend's
+    # parent row i ranks above the stay row j, the merged beam carries the
+    # EXTEND's offsets (char stamped at this frame), not the stay's.
+    m_ij = eq.any(1)  # (K parent, K stay)
+    has_ext = m_ij.any(0)
+    i_min = jnp.argmax(m_ij, axis=0)  # first matching parent per stay
+    use_ext_off = has_ext & (i_min < jnp.arange(k))
+    pos_i = lens[i_min]
+    write_i = jnp.arange(max_len)[None, :] == pos_i[:, None]
+    off_from_ext = jnp.where(write_i, t, offsets[i_min])
+    stay_offsets = jnp.where(use_ext_off[:, None], off_from_ext, offsets)
+
+    # --- select beams and rebuild prefix rows (layout: [stays | extends]) ---
+    score = jnp.concatenate([stay_score, ext_score])
     top_scores, idx = jax.lax.top_k(score, k)
-    parent = idx // (c + 1)
-    col = idx % (c + 1)
-    is_ext = col > 0
-    char = col - 1
+    is_ext = idx >= k
+    eidx = jnp.maximum(idx - k, 0)
+    parent = jnp.where(is_ext, eidx // c, idx)
+    char = jnp.where(is_ext, eidx % c, 0)
     sel_ok = top_scores > NEG_INF
+
+    pb_all = jnp.concatenate([stay_pb, jnp.full((k * c,), NEG_INF)])
+    pnb_all = jnp.concatenate([stay_pnb, ext_flat])
+    h1_all = jnp.concatenate([h1, eh1.reshape(k * c)])
+    h2_all = jnp.concatenate([h2, eh2.reshape(k * c)])
 
     pos = lens[parent]  # (K,)
     write = is_ext[:, None] & (jnp.arange(max_len)[None, :] == pos[:, None])
     new_prefixes = jnp.where(write, char[:, None], prefixes[parent])
-    new_offsets = jnp.where(write, t, offsets[parent])
+    base_off = jnp.where(is_ext[:, None], offsets[parent],
+                         stay_offsets[parent])
+    new_offsets = jnp.where(write, t, base_off)
     new_lens = pos + is_ext.astype(lens.dtype)
     new_last = jnp.where(is_ext, char, last[parent])
 
+    sent = -(jnp.arange(k, dtype=jnp.int32) + 2)
     new_state = (
         new_prefixes, new_offsets, new_lens,
         jnp.where(sel_ok, new_last, -1),
-        jnp.where(sel_ok, h1_flat[idx], sent[:k]),
-        jnp.where(sel_ok, h2_flat[idx], sent[:k]),
-        jnp.where(sel_ok, merged_pb[idx], NEG_INF),
-        jnp.where(sel_ok, merged_pnb[idx], NEG_INF),
+        jnp.where(sel_ok, h1_all[idx], sent),
+        jnp.where(sel_ok, h2_all[idx], sent),
+        jnp.where(sel_ok, pb_all[idx], NEG_INF),
+        jnp.where(sel_ok, pnb_all[idx], NEG_INF),
     )
     return new_state, None
 
