@@ -1,0 +1,80 @@
+"""Checkpoint / mid-epoch resume through the real train CLI.
+
+Covers the reference's --continue-from contract (train.py:74, 827-872):
+a per-N-samples checkpoint carries epoch/iteration counters and training
+resumes from the saved iteration, finishing the run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def tiny_manifest(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, txt in enumerate(["AB", "BA", "AAB", "ABB", "A B", "B A"]):
+        sr, dur = 16000, 0.3
+        t = np.arange(int(sr * dur)) / sr
+        y = 0.2 * np.sin(2 * np.pi * (300 + 140 * i) * t)
+        y = (y + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        wav, tx = tmp_path / f"u{i}.wav", tmp_path / f"u{i}.txt"
+        wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+        tx.write_text(txt)
+        rows.append(f"{wav},{tx},{dur:.2f}")
+    m = tmp_path / "manifest.csv"
+    m.write_text("\n".join(rows) + "\n")
+    return str(m)
+
+
+def _run_train(manifest, save, extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--train-manifest", manifest, "--val-manifest", manifest,
+           "--batch-size", "2", "--hidden-size", "16", "--hidden-layers", "1",
+           "--num-workers", "0", "--save-folder", save, "--id", "resume-test",
+           "--log-dir", os.path.join(save, "logs")] + extra
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO, timeout=420)
+
+
+@pytest.mark.slow
+def test_mid_epoch_checkpoint_and_resume(tiny_manifest, tmp_path):
+    save = str(tmp_path / "ckpt")
+    # 6 utts / batch 2 = 3 iterations per epoch; checkpoint every 4 samples
+    # -> a mid-epoch checkpoint with iteration > 0 exists after the run
+    r = _run_train(tiny_manifest, save,
+                   ["--epochs", "1", "--checkpoint-per-samples", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    cps = [f for f in os.listdir(save) if "ckpt" in f]
+    assert any("final" in f for f in cps), cps
+    mid = [f for f in cps if "samples" in f or "iter" in f or
+           ("epoch" not in f and "final" not in f and "best" not in f)]
+    assert mid, f"no mid-epoch checkpoint found in {cps}"
+
+    # resume from the mid-epoch checkpoint for one more epoch
+    r2 = _run_train(tiny_manifest, save,
+                    ["--epochs", "2",
+                     "--continue-from", os.path.join(save, mid[0])])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Resuming from" in (r2.stdout + r2.stderr)
+    assert os.path.exists(os.path.join(save, "deepspeech_final.ckpt"))
+
+    # the metrics log keeps counting from the restored epoch/iteration
+    logdir = os.path.join(save, "logs")
+    events = []
+    for root, _, files in os.walk(logdir):
+        for f in files:
+            if f.endswith(".jsonl"):
+                with open(os.path.join(root, f)) as fh:
+                    events += [json.loads(line) for line in fh if line.strip()]
+    train_events = [e for e in events if e.get("event") == "train"]
+    assert train_events, "no train events logged"
