@@ -25,6 +25,9 @@ def add_decoder_args(parser: argparse.ArgumentParser):
                            help="Cumulative probability cutoff in beam search")
     beam_args.add_argument("--lm-workers", default=1, type=int,
                            help="Number of LM processes to use")
+    beam_args.add_argument("--blank-collapse", default=1.0, type=float,
+                           help="Drop frames with p(blank) >= this before "
+                                "beam search (arXiv:2210.17017); 1.0 = off")
     return parser
 
 

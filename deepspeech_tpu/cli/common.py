@@ -56,6 +56,7 @@ def build_decoder(args, labels):
             beta=args.beta, cutoff_top_n=args.cutoff_top_n,
             cutoff_prob=args.cutoff_prob, beam_width=args.beam_width,
             num_processes=args.lm_workers, top_paths=args.top_paths,
-            blank_index=labels.blank_index)
+            blank_index=labels.blank_index,
+            blank_collapse_threshold=getattr(args, "blank_collapse", 1.0))
     from deepspeech_tpu.decoders import GreedyDecoder
     return GreedyDecoder(labels.labels, blank_index=labels.blank_index)

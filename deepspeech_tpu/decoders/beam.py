@@ -31,6 +31,31 @@ from deepspeech_tpu.decoders.lm import LOG10, load_lm
 NEG_INF = -math.inf
 
 
+def blank_collapse(log_probs: np.ndarray, threshold: float,
+                   blank: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Compress CTC emissions by dropping high-confidence blank frames
+    (arXiv:2210.17017 "Blank Collapse"): frames with p(blank) >= threshold
+    carry (almost) no label mass, and a run of them is equivalent to a
+    single blank for the hypothesis set — so each run keeps one
+    representative frame. Typical speech is mostly blank, so beam-search
+    cost drops by the compression factor at negligible WER impact.
+
+    Returns (compressed (T', C) log_probs, frame_index (T',) mapping each
+    kept frame back to its original time index — used to restore offsets).
+    """
+    t = log_probs.shape[0]
+    if threshold >= 1.0 or t == 0:
+        return log_probs, np.arange(t)
+    blankish = log_probs[:, blank] >= math.log(threshold)
+    keep = ~blankish
+    # keep the first frame of every blank run (preserves the blank's role
+    # as a repeat-character separator)
+    first_of_run = blankish & ~np.concatenate([[False], blankish[:-1]])
+    keep |= first_of_run
+    idx = np.nonzero(keep)[0]
+    return log_probs[idx], idx
+
+
 def _logaddexp(a: float, b: float) -> float:
     if a == NEG_INF:
         return b
@@ -146,7 +171,7 @@ class BeamCTCDecoder(Decoder):
     def __init__(self, labels, lm_path=None, alpha=0.8, beta=1.0,
                  cutoff_top_n=40, cutoff_prob=1.0, beam_width=10,
                  num_processes=4, blank_index=0, top_paths=1,
-                 backend="auto"):
+                 backend="auto", blank_collapse_threshold=1.0):
         super().__init__(labels, blank_index=blank_index)
         self.beam_width = beam_width
         self.cutoff_top_n = cutoff_top_n
@@ -154,6 +179,7 @@ class BeamCTCDecoder(Decoder):
         self.top_paths = top_paths
         self.alpha = alpha
         self.beta = beta
+        self.blank_collapse_threshold = float(blank_collapse_threshold)
         self.num_processes = max(1, num_processes)
 
         from deepspeech_tpu.decoders import beam_native
@@ -170,6 +196,10 @@ class BeamCTCDecoder(Decoder):
             self.lm = load_lm(lm_path)
 
     def _decode_one(self, log_probs: np.ndarray):
+        frame_map = None
+        if self.blank_collapse_threshold < 1.0:
+            log_probs, frame_map = blank_collapse(
+                log_probs, self.blank_collapse_threshold, self.blank_index)
         hyps = self._search(
             log_probs, beam_width=self.beam_width, blank=self.blank_index,
             cutoff_top_n=self.cutoff_top_n, cutoff_prob=self.cutoff_prob,
@@ -179,6 +209,8 @@ class BeamCTCDecoder(Decoder):
         strings = ["".join(self.int_to_char[i] for i in prefix)
                    for prefix, _, _ in hyps]
         offsets = [np.asarray(offs, dtype=np.int32) for _, offs, _ in hyps]
+        if frame_map is not None:
+            offsets = [frame_map[o] if len(o) else o for o in offsets]
         return strings, offsets
 
     def decode(self, probs, sizes=None):

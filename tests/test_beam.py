@@ -163,3 +163,50 @@ class TestLM:
         fused, _ = with_lm.decode(probs)
         assert base[0][0].strip() == "BA"
         assert fused[0][0].strip() == "AB"
+
+
+class TestBlankCollapse:
+    """arXiv:2210.17017 emission compression before beam search."""
+
+    def _peaked(self, ids, blank_runs, p=0.999):
+        """Build (T, C) probs emitting `ids` with runs of near-certain
+        blanks in between."""
+        rows = []
+        for i, c in enumerate(ids):
+            for _ in range(blank_runs):
+                row = np.full(len(LABELS), (1 - p) / (len(LABELS) - 1))
+                row[0] = p
+                rows.append(row)
+            row = np.full(len(LABELS), 1e-4)
+            row[c] = 1.0
+            rows.append(row / row.sum())
+        probs = np.stack(rows)
+        return probs / probs.sum(-1, keepdims=True)
+
+    def test_compression_and_frame_map(self):
+        from deepspeech_tpu.decoders.beam import blank_collapse
+        probs = self._peaked([1, 2, 1], blank_runs=5)
+        lp = np.log(probs)
+        comp, idx = blank_collapse(lp, threshold=0.99)
+        # each 5-frame blank run collapses to 1 representative
+        assert comp.shape[0] == 3 * (1 + 1)
+        np.testing.assert_array_equal(comp, lp[idx])
+
+    def test_off_by_default(self):
+        from deepspeech_tpu.decoders.beam import blank_collapse
+        lp = np.log(self._peaked([1], blank_runs=3))
+        comp, idx = blank_collapse(lp, threshold=1.0)
+        assert comp.shape == lp.shape
+        np.testing.assert_array_equal(idx, np.arange(lp.shape[0]))
+
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_decode_matches_full(self, backend):
+        probs = self._peaked([1, 2, 2, 1], blank_runs=4)[None]
+        full = BeamCTCDecoder(LABELS, beam_width=8, backend=backend)
+        fast = BeamCTCDecoder(LABELS, beam_width=8, backend=backend,
+                              blank_collapse_threshold=0.99)
+        s_full, o_full = full.decode(probs)
+        s_fast, o_fast = fast.decode(probs)
+        assert s_fast[0][0] == s_full[0][0] == "ABBA"
+        # offsets are mapped back to original frame indices
+        assert [int(x) for x in o_fast[0][0]] == [int(x) for x in o_full[0][0]]
