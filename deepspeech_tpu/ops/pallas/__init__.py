@@ -6,6 +6,8 @@ XLA everywhere else).
 """
 
 from deepspeech_tpu.ops.pallas.rnn_kernel import (
-    gru_scan_pallas, lstm_scan_pallas, pallas_supported)
+    bigru_scan_pallas, bilstm_scan_pallas, gru_scan_pallas,
+    lstm_scan_pallas, pallas_supported)
 
-__all__ = ["gru_scan_pallas", "lstm_scan_pallas", "pallas_supported"]
+__all__ = ["bigru_scan_pallas", "bilstm_scan_pallas", "gru_scan_pallas",
+           "lstm_scan_pallas", "pallas_supported"]

@@ -114,55 +114,52 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
             w_hh = w_hh.astype(compute_dtype)
 
     if use_pallas:
-        from deepspeech_tpu.ops.pallas import gru_scan_pallas, lstm_scan_pallas
+        from deepspeech_tpu.ops.pallas import (
+            bigru_scan_pallas, bilstm_scan_pallas, gru_scan_pallas,
+            lstm_scan_pallas)
 
-        # Direction 1 runs on the plain time-FLIPPED input stream (an XLA
-        # reverse of the small (T,B,F) input — the per-sample gather
-        # `_reverse_in_length` on the 3x wider projections costs
-        # ~1.65 ms/layer on TPU). In flipped coordinates each sample's
-        # padding comes FIRST; gate overrides freeze the state through it so
-        # the recurrence effectively starts at the sample's last valid
-        # frame: sigmoid(40) == 1 exactly in f32, so the GRU update gate
-        # carries h (= 0) unchanged, and the LSTM forget/input gates carry
-        # c (= 0) unchanged. The analytic backward kernels see z==1 / f==1,
-        # i==0 and emit exactly-zero gate grads at those steps.
+        # Zero-copy bidirectionality: the kernel's backward-direction blocks
+        # walk the time grid in reverse via their BlockSpec index maps, so
+        # BOTH directions consume the projections in original time order —
+        # no flip / per-sample gather on the (T,B,G·H) streams. Padded steps
+        # are state-frozen in-kernel from `lengths` (see rnn_kernel.py).
+        interp = impl == "pallas_interpret"
+        # kernel stream dtype: bf16 on TPU; f32 under the CPU interpreter
+        # (whose backend lacks fast bf16 dots).
+        sdt = jnp.float32 if interp else jnp.bfloat16
+        # Mosaic requires slices along the sublane (batch) dim of the
+        # (chunk, B, G·H) blocks to be 8-aligned; pad B up front (cheap: the
+        # pad rides the small (T, B, F) input, padded rows carry length 0 and
+        # are sliced off the outputs below).
+        bpad = (-b) % 8
+        xk, lk = x, lengths
+        if bpad:
+            xk = jnp.pad(x, ((0, 0), (0, bpad), (0, 0)))
+            lk = jnp.pad(lengths, (0, bpad))
+        # Raw per-direction input projections, one (T·B, F)x(F, G·H) MXU
+        # matmul each; biases are added in-kernel so the convert fuses into
+        # the matmul epilogue and no f32 copy of the stream is materialized.
+        xp = jnp.einsum("tbf,dfg->dtbg", xk.astype(sdt), w_ih.astype(sdt),
+                        preferred_element_type=jnp.float32).astype(sdt)
+        b_ih32 = b_ih.astype(jnp.float32)
+        b_hh32 = b_hh.astype(jnp.float32)
+        w_hh32 = w_hh.astype(jnp.float32)  # kernels cast to bf16 on TPU
+        # The output mask is load-bearing for BOTH directions: it zeroes the
+        # forward stream's padded-step garbage AND (through its VJP) the
+        # padded-step cotangents that the kernels' freeze-gate trick
+        # requires to be zero.
+        mask = (jnp.arange(t)[:, None] < lengths[None, :]
+                ).astype(jnp.float32)[:, :, None]
         if bidirectional:
-            x_stack = jnp.stack([x, jnp.flip(x, axis=0)], axis=1)
-        else:
-            x_stack = x[:, None]
-        # one batched matmul, already in the kernel's (T, D, B, G*H) order —
-        # the (T, D*B, G*H) row layout is then a free reshape. (The CPU
-        # backend lacks batched bf16 dots; interpret-mode tests run it f32.)
-        w_proj = w_ih
-        if impl == "pallas_interpret":
-            x_stack = x_stack.astype(jnp.float32)
-            w_proj = w_ih.astype(jnp.float32)
-        xp = jnp.einsum("tdbf,dfg->tdbg", x_stack, w_proj,
-                        preferred_element_type=jnp.float32) \
-            + b_ih[None, :, None, :].astype(jnp.float32)
-        if bidirectional:
-            padm = (jnp.arange(t)[:, None] < (t - lengths)[None, :])[..., None]
-            if cell == "gru":
-                z = jnp.where(padm, 40.0, xp[:, 1, :, hidden:2 * hidden])
-                xp1 = jnp.concatenate(
-                    [xp[:, 1, :, :hidden], z, xp[:, 1, :, 2 * hidden:]],
-                    axis=-1)
-            else:  # lstm
-                i = jnp.where(padm, -40.0, xp[:, 1, :, :hidden])
-                f = jnp.where(padm, 40.0, xp[:, 1, :, hidden:2 * hidden])
-                xp1 = jnp.concatenate([i, f, xp[:, 1, :, 2 * hidden:]],
-                                      axis=-1)
-            xp = jnp.stack([xp[:, 0], xp1], axis=1)
-
-        scan_pallas = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
-        xp_rows = xp.reshape(t, d * b, gates * hidden)
-        h = scan_pallas(xp_rows, w_hh.astype(jnp.float32),
-                        b_hh.astype(jnp.float32), b,
-                        impl == "pallas_interpret")
-        out = jnp.moveaxis(h.reshape(t, d, b, hidden), 0, 1)  # (D, T, B, H)
-        if bidirectional:
-            # undo the flip: position s < len maps to flipped t = T-1-s
-            out = out.at[1].set(jnp.flip(out[1], axis=0))
+            lens = lk.astype(jnp.float32)[:, None]  # (B + pad, 1)
+            fn = bigru_scan_pallas if cell == "gru" else bilstm_scan_pallas
+            h_f, h_b = fn(xp[0], xp[1], b_ih32, w_hh32, b_hh32, lens, interp)
+            h_f, h_b = h_f[:, :b], h_b[:, :b]
+            if sum_directions:  # reference model.py:106-107 sums directions
+                return (h_f + h_b) * mask
+            return jnp.concatenate([h_f, h_b], axis=-1) * mask
+        fn = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
+        return fn(xp[0], b_ih32, w_hh32, b_hh32, interp)[:, :b] * mask
     else:
         # Input projection for every (direction, timestep) in one matmul.
         # (T, B, F) @ (D, F, G*H) -> (D, T, B, G*H)
