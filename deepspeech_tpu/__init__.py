@@ -22,3 +22,19 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS=cpu request. The bundled 'axon' TPU PJRT
+# plugin force-appends itself to jax_platforms during registration, which both
+# overrides the env var and pays a multi-second tunnel handshake in every CLI
+# subprocess. Pinning via jax.config before backend init restores standard
+# JAX env-var semantics (no-op unless the user asked for cpu).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - jax absent or already initialized
+        pass
+del _os

@@ -242,16 +242,26 @@ def main(argv=None) -> int:
 
     bucket = BucketSpec(audio_step=int(audio_conf.sample_rate
                                        * args.bucket_audio_seconds))
+
+    # Collate pads the batch dimension with valid=0 rows; round it up to a
+    # multiple of the local device count so DP batch sharding always divides
+    # (e.g. batch 2 on an 8-device mesh). Real sample count per bin is still
+    # the requested batch size — padding rows carry zero loss/metric weight.
+    dp_local = jax.local_device_count()
+
+    def _pad_bs(bs):
+        return -(-bs // dp_local) * dp_local
+
     val_sampler = BucketingSampler(len(val_dataset), args.val_batch_size)
     val_loader = AudioDataLoader(val_dataset, val_sampler,
-                                 args.val_batch_size, bucket,
+                                 _pad_bs(args.val_batch_size), bucket,
                                  args.num_workers)
     trainval_loader = None
     if trainval_dataset is not None:
         tv_sampler = BucketingSampler(len(trainval_dataset),
                                       args.val_batch_size)
         trainval_loader = AudioDataLoader(trainval_dataset, tv_sampler,
-                                          args.val_batch_size, bucket,
+                                          _pad_bs(args.val_batch_size), bucket,
                                           args.num_workers)
 
     # -- device placement -----------------------------------------------------
@@ -349,7 +359,7 @@ def main(argv=None) -> int:
             # longest-first: peak memory load on the very first batches
             # (reference train.py:93-94, 933-935)
             sampler.reverse()
-        loader = AudioDataLoader(train_dataset, sampler, per_host_batch,
+        loader = AudioDataLoader(train_dataset, sampler, _pad_bs(per_host_batch),
                                  bucket, args.num_workers)
 
         loss_meter = AverageMeter()
