@@ -88,14 +88,26 @@ def banded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         wb = wb.reshape(k_t, (hi - lo) * c_in, (g1 - g0) * c_out)
         if compute_dtype is not None:
             wb = wb.astype(compute_dtype)
-        y = None
-        for dt in range(k_t):
-            x_dt = jax.lax.slice(
-                xp, (0, dt, lo * c_in),
-                (b, dt + s_t * (t_out - 1) + 1, hi * c_in),
-                (1, s_t, 1))
-            part = jnp.einsum("btk,kn->btn", x_dt, wb[dt],
-                              preferred_element_type=jnp.float32)
-            y = part if y is None else y + part
+        band = (hi - lo) * c_in
+        slices = [jax.lax.slice(
+            xp, (0, dt, lo * c_in),
+            (b, dt + s_t * (t_out - 1) + 1, hi * c_in),
+            (1, s_t, 1)) for dt in range(k_t)]
+        if band * k_t <= 4096:
+            # Fold the time taps into the contraction: one (B·T', k_t·band)
+            # x (k_t·band, N) MXU matmul instead of k_t small-K matmuls.
+            # The concat materializes ~B·T'·k_t·band·2 bytes once — far
+            # cheaper than the per-matmul K underutilization it removes
+            # (conv1: K=161 x 11 matmuls -> K=1771 x 1, 5.2 ms -> ~1 ms).
+            x_cat = jnp.concatenate(slices, axis=-1)
+            y = jnp.einsum("btk,kn->btn", x_cat,
+                           wb.reshape(k_t * band, -1),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = None
+            for x_dt, w_dt in zip(slices, wb):
+                part = jnp.einsum("btk,kn->btn", x_dt, w_dt,
+                                  preferred_element_type=jnp.float32)
+                y = part if y is None else y + part
         outs.append(y + jnp.tile(bias, g1 - g0).astype(jnp.float32))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)

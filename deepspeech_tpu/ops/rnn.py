@@ -139,8 +139,14 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         # Raw per-direction input projections, one (T·B, F)x(F, G·H) MXU
         # matmul each; biases are added in-kernel so the convert fuses into
         # the matmul epilogue and no f32 copy of the stream is materialized.
-        xp = jnp.einsum("tbf,dfg->dtbg", xk.astype(sdt), w_ih.astype(sdt),
-                        preferred_element_type=jnp.float32).astype(sdt)
+        # Two separate einsums (not one d-batched "tbf,dfg->dtbg"): the
+        # batched form materializes a d-major transpose of the (T,B,G·H)
+        # streams in forward AND backward plus xp[0]/xp[1] slice copies —
+        # ~0.7 ms/layer of pure data movement on the profile.
+        xks = xk.astype(sdt)
+        xp = [jnp.einsum("tbf,fg->tbg", xks, w_ih[d].astype(sdt),
+                         preferred_element_type=jnp.float32).astype(sdt)
+              for d in range(w_ih.shape[0])]
         b_ih32 = b_ih.astype(jnp.float32)
         b_hh32 = b_hh.astype(jnp.float32)
         w_hh32 = w_hh.astype(jnp.float32)  # kernels cast to bf16 on TPU
