@@ -42,6 +42,86 @@ def band_select(f_in: int, f_out: int, k_f: int, stride_f: int,
     return (fin == stride_f * f + df - pad_f).astype(np.float32)
 
 
+_FOLD_LANES = 4096  # fold taps into one matmul when K-cat stays below this
+
+
+def _tap_matmuls_fwd_impl(x_g: jnp.ndarray, wb: jnp.ndarray, s_t: int,
+                          t_out: int) -> jnp.ndarray:
+    """Core tap loop: y[b,t] = sum_dt x_g[b, s_t*t + dt] @ wb[dt].
+
+    x_g: (B, T_pad, K) time-padded lane window; wb: (k_t, K, N)."""
+    k_t, band, _ = wb.shape
+    b = x_g.shape[0]
+    slices = [jax.lax.slice(
+        x_g, (0, dt, 0), (b, dt + s_t * (t_out - 1) + 1, band),
+        (1, s_t, 1)) for dt in range(k_t)]
+    if band * k_t <= _FOLD_LANES:
+        # Fold the time taps into the contraction: one (B·T', k_t·band)
+        # x (k_t·band, N) MXU matmul instead of k_t small-K matmuls.
+        x_cat = jnp.concatenate(slices, axis=-1)
+        return jnp.einsum("btk,kn->btn", x_cat, wb.reshape(k_t * band, -1),
+                          preferred_element_type=jnp.float32)
+    y = None
+    for x_dt, w_dt in zip(slices, wb):
+        part = jnp.einsum("btk,kn->btn", x_dt, w_dt,
+                          preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _tap_matmuls_s1(x_g, wb, s_t, t_out):
+    """Stride-1 tap loop with a hand-written backward: XLA's autodiff of the
+    per-tap strided-slice graph emits k_t·groups scatter-adds into the input
+    gradient (~1.3 ms/step of add_any on the profile); the transpose of a
+    banded conv is itself a banded conv, so dX is computed as tap matmuls
+    against the transposed band, accumulated in registers instead."""
+    return _tap_matmuls_fwd_impl(x_g, wb, s_t, t_out)
+
+
+def _tap_s1_fwd(x_g, wb, s_t, t_out):
+    return _tap_matmuls_fwd_impl(x_g, wb, s_t, t_out), (x_g, wb)
+
+
+def _tap_s1_bwd(s_t, t_out, res, dy):
+    x_g, wb = res
+    k_t, band, n = wb.shape
+    b, t_pad, _ = x_g.shape  # t_pad == t_out + k_t - 1 for s_t == 1
+    dyc = dy.astype(wb.dtype)
+
+    # dwb[dt] = x_dt^T @ dy — K = B·T' reduction per tap.
+    dwb = jnp.stack([
+        jnp.einsum("btk,btn->kn",
+                   jax.lax.slice(x_g, (0, dt, 0), (b, dt + t_out, band)),
+                   dyc, preferred_element_type=jnp.float32)
+        for dt in range(k_t)]).astype(wb.dtype)
+
+    # dx_g[u] = sum_dt dy[u - dt] @ wb[dt]^T — the transposed banded conv:
+    # pad dy, take k_t shifted slices, accumulate their matmuls in registers.
+    # (A folded single matmul over k_t·N lanes was measured slower: the
+    # sublane-misaligned shift concat costs more than the matmul fusion wins.)
+    dy_pad = jnp.pad(dyc, ((0, 0), (k_t - 1, k_t - 1), (0, 0)))
+    shifts = [jax.lax.slice(dy_pad, (0, k_t - 1 - dt, 0),
+                            (b, 2 * (k_t - 1) - dt + t_out, n))
+              for dt in range(k_t)]
+    wt = jnp.swapaxes(wb, 1, 2)  # (k_t, N, K)
+    dx = None
+    for s, w_dt in zip(shifts, wt):
+        part = jnp.einsum("btn,nk->btk", s, w_dt,
+                          preferred_element_type=jnp.float32)
+        dx = part if dx is None else dx + part
+    return dx.astype(x_g.dtype), dwb
+
+
+_tap_matmuls_s1.defvjp(_tap_s1_fwd, _tap_s1_bwd)
+
+
+def _tap_matmuls(x_g, wb, s_t, t_out):
+    if s_t == 1:
+        return _tap_matmuls_s1(x_g, wb, s_t, t_out)
+    return _tap_matmuls_fwd_impl(x_g, wb, s_t, t_out)
+
+
 def banded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   f_in: int, f_out: int, strides: tuple[int, int],
                   padding: tuple[int, int], compute_dtype=None,
@@ -88,26 +168,8 @@ def banded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         wb = wb.reshape(k_t, (hi - lo) * c_in, (g1 - g0) * c_out)
         if compute_dtype is not None:
             wb = wb.astype(compute_dtype)
-        band = (hi - lo) * c_in
-        slices = [jax.lax.slice(
-            xp, (0, dt, lo * c_in),
-            (b, dt + s_t * (t_out - 1) + 1, hi * c_in),
-            (1, s_t, 1)) for dt in range(k_t)]
-        if band * k_t <= 4096:
-            # Fold the time taps into the contraction: one (B·T', k_t·band)
-            # x (k_t·band, N) MXU matmul instead of k_t small-K matmuls.
-            # The concat materializes ~B·T'·k_t·band·2 bytes once — far
-            # cheaper than the per-matmul K underutilization it removes
-            # (conv1: K=161 x 11 matmuls -> K=1771 x 1, 5.2 ms -> ~1 ms).
-            x_cat = jnp.concatenate(slices, axis=-1)
-            y = jnp.einsum("btk,kn->btn", x_cat,
-                           wb.reshape(k_t * band, -1),
-                           preferred_element_type=jnp.float32)
-        else:
-            y = None
-            for x_dt, w_dt in zip(slices, wb):
-                part = jnp.einsum("btk,kn->btn", x_dt, w_dt,
-                                  preferred_element_type=jnp.float32)
-                y = part if y is None else y + part
+        x_g = jax.lax.slice(xp, (0, 0, lo * c_in),
+                            (b, xp.shape[1], hi * c_in))
+        y = _tap_matmuls(x_g, wb, s_t, t_out)
         outs.append(y + jnp.tile(bias, g1 - g0).astype(jnp.float32))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)

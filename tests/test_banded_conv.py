@@ -77,3 +77,33 @@ def test_gradients_match_lax_conv():
     for a, e, name in zip(ga, ge, ("dx", "dk", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_gradients_match_unfolded(monkeypatch):
+    """Force the tap-loop (non-folded) branches of both fwd and the custom
+    stride-1 backward by shrinking the fold threshold."""
+    from deepspeech_tpu.ops import banded_conv as bc
+
+    monkeypatch.setattr(bc, "_FOLD_LANES", 1)
+    rng = np.random.default_rng(2)
+    f_in, c_in, c_out, k_f, k_t = 11, 2, 4, 5, 3
+    strides, padding = (1, 1), (2, 1)
+    b, t = 2, 13
+    x = jnp.asarray(rng.standard_normal((b, t, f_in * c_in)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((k_f, k_t, c_in, c_out)) * 0.2,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c_out) * 0.1, jnp.float32)
+    f_out = (f_in + 2 * padding[0] - k_f) // strides[0] + 1
+
+    def loss_banded(x, k, bia):
+        return jnp.sum(bc.banded_conv2d(x, k, bia, f_in, f_out, strides,
+                                        padding, freq_groups=2) ** 2)
+
+    def loss_oracle(x, k, bia):
+        return jnp.sum(_oracle(x, k, bia, f_in, strides, padding) ** 2)
+
+    ga = jax.grad(loss_banded, argnums=(0, 1, 2))(x, kernel, bias)
+    ge = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, kernel, bias)
+    for a, e, name in zip(ga, ge, ("dx", "dk", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
