@@ -306,11 +306,19 @@ def main(argv=None) -> int:
                              avg_loss=avg_loss)
         ckpt.save(path, pkg)
         train_dataset.save_curriculum(path + ".curriculum.csv")
+        # validation curriculum sidecars (reference save_validation_curriculums,
+        # train.py:515-532: every checkpoint gets val + trainval CER history)
+        val_dataset.save_curriculum(path + ".val.curriculum.csv")
+        if trainval_dataset is not None:
+            trainval_dataset.save_curriculum(path + ".trainval.curriculum.csv")
         logger.log("checkpoint", path=path, epoch=epoch, iteration=iteration)
         say(f"  saved {path}")
 
     def run_validation(epoch, tag="val"):
-        summary = evaluate(val_loader, eval_step, state, decoder, labels)
+        # reference check_model_quality also feeds the val dataset's
+        # curriculum history (train.py:376-381)
+        summary = evaluate(val_loader, eval_step, state, decoder, labels,
+                           dataset=val_dataset, update_curriculum=True)
         say(f"[{tag}] epoch {epoch + 1}: loss {summary['loss']:.3f} "
             f"WER {summary['wer']:.2f} CER {summary['cer']:.2f} "
             f"(utt-avg {summary['utt_wer']:.2f}/{summary['utt_cer']:.2f})")

@@ -134,6 +134,10 @@ class ConvFrontend(nn.Module):
             x = hardtanh_0_20(x)
             # hardtanh(0) == 0, but keep the re-mask for exact MaskConv parity
             x = x * mask
+            if self.compute_dtype is not None:
+                # cast here so the convert fuses into the hardtanh/mask chain
+                # instead of a separate 78 MB f32 read before the next matmul
+                x = x.astype(self.compute_dtype)
         return x  # (B, T', 41*32), lane order f*32 + c
 
 

@@ -54,7 +54,7 @@ def test_mid_epoch_checkpoint_and_resume(tiny_manifest, tmp_path):
     r = _run_train(tiny_manifest, save,
                    ["--epochs", "1", "--checkpoint-per-samples", "4"])
     assert r.returncode == 0, r.stderr[-2000:]
-    cps = [f for f in os.listdir(save) if "ckpt" in f]
+    cps = [f for f in os.listdir(save) if f.endswith(".ckpt")]
     assert any("final" in f for f in cps), cps
     mid = [f for f in cps if "samples" in f or "iter" in f or
            ("epoch" not in f and "final" not in f and "best" not in f)]
