@@ -194,7 +194,9 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
       plus shared wt (D, 3H, H) bf16.
     per-direction outputs: dg (chunk, B, 3H) bf16 — pre-activation gate
       grads (== the xp cotangent), dnh (chunk, B, H) bf16 — dn_pre * r (the
-      n-column of the hidden-projection grad, needed for dW_hh/db_hh);
+      n-column of the hidden-projection grad, needed for dW_hh/db_hh),
+      hp (chunk, B, H) bf16 — the h_{prev} stream re-emitted time-aligned
+      with dg so the dW_hh einsum outside needs no shifted-slice relayout;
       shared outputs dbi, dbh (D, 3H) f32 — bias grads, accumulated across
       the whole grid and written at the last step.
     scratch: acc_i, acc_h (D, B, 3H) f32 per-row bias accumulators,
@@ -203,12 +205,13 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
     if bidir:
         (dout_f, dout_b, g_f, g_b, hnr_f, hnr_b, hc_f, ha_f, hc_b, ha_b,
          wt_ref) = refs[:11]
-        dg_f, dg_b, dnh_f, dnh_b, dbi_ref, dbh_ref = refs[11:17]
-        acc_i, acc_h, state = refs[17:]
+        dg_f, dg_b, dnh_f, dnh_b, hp_f, hp_b, dbi_ref, dbh_ref = refs[11:19]
+        acc_i, acc_h, state = refs[19:]
     else:
         dout_f, g_f, hnr_f, hc_f, ha_f, wt_ref = refs[:6]
-        dg_f, dnh_f, dbi_ref, dbh_ref = refs[6:10]
-        acc_i, acc_h, state = refs[10:]
+        dg_f, dnh_f, hp_f, dbi_ref, dbh_ref = refs[6:11]
+        acc_i, acc_h, state = refs[11:]
+        hp_b = None
     hidden = wt_ref.shape[2]
     blk = pl.program_id(0)
 
@@ -220,10 +223,11 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
         dbi_ref[:] = jnp.zeros_like(dbi_ref)
         dbh_ref[:] = jnp.zeros_like(dbh_ref)
 
-    def step(d, k, dh_in, gv, hnv, h_prev, dg_ref, dnh_ref):
+    def step(d, k, dh_in, gv, hnv, h_prev, dg_ref, dnh_ref, hp_ref):
         # NOTE: stores below index dg_ref[k, ...] directly (static k) — a
         # `.at[k]` ref view would lower to tpu.memref_slice, which requires
         # tile-aligned slice shapes (3H = 2400 is not 128-aligned).
+        hp_ref[k] = h_prev.astype(hp_ref.dtype)
         dh_tot = dh_in + state[d]
         r, z, n = _split_gates(gv.astype(jnp.float32), hidden)
         hn = hnv.astype(jnp.float32)
@@ -253,7 +257,7 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
         else:
             blk_f = nblocks - 1 - blk  # time-block the fwd stream is on
             hprev = ha_f[chunk - 1] * (blk_f > 0).astype(jnp.float32)
-        step(0, jr, dout_f[jr], g_f[jr], hnr_f[jr], hprev, dg_f, dnh_f)
+        step(0, jr, dout_f[jr], g_f[jr], hnr_f[jr], hprev, dg_f, dnh_f, hp_f)
         if bidir:
             # backward direction's recurrence ran t descending, so its grads
             # walk t ascending; its h_{prev} is h_b at t+1.
@@ -261,7 +265,7 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
                 hprev = hc_b[j + 1]
             else:
                 hprev = ha_b[0] * (blk < nblocks - 1).astype(jnp.float32)
-            step(1, j, dout_b[j], g_b[j], hnr_b[j], hprev, dg_b, dnh_b)
+            step(1, j, dout_b[j], g_b[j], hnr_b[j], hprev, dg_b, dnh_b, hp_b)
 
     @pl.when(blk == nblocks - 1)
     def _():
@@ -375,11 +379,15 @@ def _gru_bwd(res, douts, interpret):
             jax.ShapeDtypeStruct((tp, b, gh), gdt),
             jax.ShapeDtypeStruct((tp, b, hidden), gdt),
             jax.ShapeDtypeStruct((tp, b, hidden), gdt),
+            jax.ShapeDtypeStruct((tp, b, hidden), gdt),
+            jax.ShapeDtypeStruct((tp, b, hidden), gdt),
             jax.ShapeDtypeStruct((ndir, gh), jnp.float32),
             jax.ShapeDtypeStruct((ndir, gh), jnp.float32),
         ]
         out_specs = [
             g_spec, pl.BlockSpec((chunk, b, gh), fwd),
+            pl.BlockSpec((chunk, b, hidden), rev),
+            pl.BlockSpec((chunk, b, hidden), fwd),
             pl.BlockSpec((chunk, b, hidden), rev),
             pl.BlockSpec((chunk, b, hidden), fwd),
             pl.BlockSpec((ndir, gh), lambda i: (0, 0)),
@@ -396,11 +404,13 @@ def _gru_bwd(res, douts, interpret):
         out_shape = [
             jax.ShapeDtypeStruct((tp, b, gh), gdt),
             jax.ShapeDtypeStruct((tp, b, hidden), gdt),
+            jax.ShapeDtypeStruct((tp, b, hidden), gdt),
             jax.ShapeDtypeStruct((ndir, gh), jnp.float32),
             jax.ShapeDtypeStruct((ndir, gh), jnp.float32),
         ]
         out_specs = [
             g_spec, pl.BlockSpec((chunk, b, hidden), rev),
+            pl.BlockSpec((chunk, b, hidden), rev),
             pl.BlockSpec((ndir, gh), lambda i: (0, 0)),
             pl.BlockSpec((ndir, gh), lambda i: (0, 0)),
         ]
@@ -418,33 +428,28 @@ def _gru_bwd(res, douts, interpret):
         interpret=interpret,
     )(*ops)
     if bidir:
-        dg_f, dg_b, dnh_f, dnh_b, dbi, dbh = outs
+        dg_f, dg_b, dnh_f, dnh_b, hp_f, hp_b, dbi, dbh = outs
     else:
-        dg_f, dnh_f, dbi, dbh = outs
-        dg_b = dnh_b = None
+        dg_f, dnh_f, hp_f, dbi, dbh = outs
+        dg_b = dnh_b = hp_b = None
 
-    # Weight grads: per direction, one MXU reduction over all (t, b); the
-    # h_{t-1} stream is a pure time-slice of the stored h (h_{-1} = 0 and
-    # the frozen/padded steps contribute exactly-zero dg, so truncating the
-    # first/last term of the sum is exact).
+    # Weight grads: per direction, one MXU reduction over all (t, b). The
+    # h_{prev} stream comes straight from the backward kernel, time-aligned
+    # with dg — no shifted-slice relayout of the f32 h needed (h_{-1} = 0
+    # and frozen/padded steps contribute exactly-zero dg, so the sum is
+    # exact over the full padded range).
     mm = functools.partial(jnp.einsum, "tbh,tbg->hg",
                            preferred_element_type=jnp.float32)
 
-    def dw_dir(h, dg, dnh, shift_fwd):
-        # shift_fwd: h_prev[t] = h[t-1] (fwd direction) else h[t+1] (bwd)
-        hdt = h.astype(wdt)
-        if shift_fwd:
-            hp, dgs, dnhs = hdt[: tp - 1], dg[1:], dnh[1:]
-        else:
-            hp, dgs, dnhs = hdt[1:], dg[: tp - 1], dnh[: tp - 1]
+    def dw_dir(hp, dg, dnh):
         return jnp.concatenate(
-            [mm(hp, dgs[..., : 2 * hidden]), mm(hp, dnhs)], axis=-1)
+            [mm(hp, dg[..., : 2 * hidden]), mm(hp, dnh)], axis=-1)
 
     if bidir:
-        dw = jnp.stack([dw_dir(h_f, dg_f, dnh_f, True),
-                        dw_dir(h_b, dg_b, dnh_b, False)])
+        dw = jnp.stack([dw_dir(hp_f, dg_f, dnh_f),
+                        dw_dir(hp_b, dg_b, dnh_b)])
     else:
-        dw = dw_dir(h_f, dg_f, dnh_f, True)[None]
+        dw = dw_dir(hp_f, dg_f, dnh_f)[None]
     return dg_f[:t], dg_b[:t] if bidir else None, dbi, \
         dw.astype(w_hh.dtype), dbh
 
