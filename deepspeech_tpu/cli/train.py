@@ -223,8 +223,12 @@ def main(argv=None) -> int:
             start_epoch = max(package.get("epoch", 1) - 1, 0)
             start_iter = package.get("iteration") or 0
             checkpoint_id = package.get("checkpoint") or 0
-            if start_iter == 0:
-                start_epoch += 0 if package.get("mid_epoch") else 0
+            if start_iter == 0 and package.get("epoch") is not None:
+                # epoch-boundary checkpoint (final/epoch/best): that epoch is
+                # complete — resume at the next one. Mid-epoch checkpoints
+                # carry iteration >= 1 and restart inside the same epoch
+                # (reference train.py:846-853).
+                start_epoch += 1
 
     # -- data -----------------------------------------------------------------
     max_items = args.max_items or None
@@ -296,6 +300,16 @@ def main(argv=None) -> int:
     per_host_batch = max(global_batch // world, 1)
     rng = jax.random.PRNGKey(args.seed)
 
+    # per-epoch metric history rides inside every checkpoint so a resumed
+    # run keeps plotting/reporting the full curve (reference model.py:426-468
+    # loss_results/wer_results/cer_results; restore train.py:854-872)
+    history = {"loss_results": list(package.get("loss_results", []))
+               if package else [],
+               "wer_results": list(package.get("wer_results", []))
+               if package else [],
+               "cer_results": list(package.get("cer_results", []))
+               if package else []}
+
     def save_package(path, epoch=None, iteration=None, avg_loss=None):
         if not is_leader:
             return
@@ -303,7 +317,7 @@ def main(argv=None) -> int:
         pkg = ckpt.serialize(meta, host_state, labels.labels,
                              audio_conf.to_dict(), epoch=epoch,
                              iteration=iteration, checkpoint=checkpoint_id,
-                             avg_loss=avg_loss)
+                             avg_loss=avg_loss, history=history)
         ckpt.save(path, pkg)
         train_dataset.save_curriculum(path + ".curriculum.csv")
         # validation curriculum sidecars (reference save_validation_curriculums,
@@ -435,6 +449,9 @@ def main(argv=None) -> int:
                    seconds=epoch_time)
 
         summary = run_validation(epoch)
+        history["loss_results"].append(float(loss_meter.avg))
+        history["wer_results"].append(float(summary["wer"]))
+        history["cer_results"].append(float(summary["cer"]))
 
         if args.checkpoint:
             save_package(os.path.join(args.save_folder,

@@ -60,6 +60,9 @@ def build_model(rnn_type: str = "gru", num_classes: int = 29,
             # for the cnn variant (model.py:228 'not_glu': _bidirectional)
             use_glu=not bidirectional)
         return model, meta
+    if rnn_type == "glu_flexible":
+        # explicit parity with the reference (model.py:309-310)
+        raise NotImplementedError("glu_flexible is not implemented")
     raise ValueError(
         f"unsupported rnn_type {rnn_type!r}; choose from {SUPPORTED}")
 
