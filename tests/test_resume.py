@@ -78,3 +78,30 @@ def test_mid_epoch_checkpoint_and_resume(tiny_manifest, tmp_path):
                     events += [json.loads(line) for line in fh if line.strip()]
     train_events = [e for e in events if e.get("event") == "train"]
     assert train_events, "no train events logged"
+
+
+@pytest.mark.slow
+def test_epoch_boundary_resume_and_history(tiny_manifest, tmp_path):
+    """Resuming from an epoch-boundary checkpoint must NOT re-run the
+    completed epoch, and the metric history embedded in the package
+    (reference model.py:426-468) must keep growing across the resume."""
+    import pickle
+
+    save = str(tmp_path / "ckpt")
+    r = _run_train(tiny_manifest, save, ["--epochs", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    final = os.path.join(save, "deepspeech_final.ckpt")
+    with open(final, "rb") as f:
+        pkg = pickle.load(f)
+    assert len(pkg["loss_results"]) == 1
+
+    r2 = _run_train(tiny_manifest, save,
+                    ["--epochs", "2", "--continue-from", final])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = r2.stdout + r2.stderr
+    assert "epoch 1 " not in out, "re-ran the completed epoch"
+    assert "epoch 2 " in out
+    with open(final, "rb") as f:
+        pkg = pickle.load(f)
+    assert len(pkg["loss_results"]) == 2
+    assert len(pkg["wer_results"]) == 2
