@@ -438,9 +438,14 @@ def main(argv=None) -> int:
                 samples_since_ckpt = 0
                 if args.checkpoint_anneal != 1.0:
                     opt = jax.device_get(state.opt_state)
-                    new_lr = get_lr(opt) / args.checkpoint_anneal
+                    old_lr = get_lr(opt)
+                    new_lr = old_lr / args.checkpoint_anneal
                     state = state.replace(opt_state=set_lr(opt, new_lr))
                     say(f"  checkpoint anneal -> lr {new_lr:.2e}")
+                    # LR-finder stream: (lr, loss) points for a loss-vs-LR
+                    # plot (reference LRPlotWindow, train.py:254-314, 414-421)
+                    logger.log("lr_find", step=checkpoint_id, lr=old_lr,
+                               loss=loss_meter.avg)
 
         epoch_time = time.perf_counter() - epoch_t0
         say(f"epoch {epoch + 1} done in {epoch_time:.1f}s "
