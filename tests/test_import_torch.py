@@ -1,0 +1,109 @@
+"""Torch-checkpoint importer: reference-format package -> native checkpoint,
+with full forward parity through the real inference loading path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.test_model import (_build_torch_replica, _torch_forward)  # noqa: E402
+
+from deepspeech_tpu.cli.import_torch import convert_package  # noqa: E402
+
+LABELS = "_'ABCD E"  # 8 classes
+
+
+def _reference_package(mods, hidden, layers):
+    """Assemble a torch.save package with the reference's exact state_dict
+    key names (reference model.py:183-341, 426-450)."""
+    conv1, bn1, conv2, bn2, rnns, bns, fc_bn, fc = mods
+    sd = {}
+
+    def put_bn(prefix, bn):
+        sd[prefix + "weight"] = bn.weight.detach()
+        sd[prefix + "bias"] = bn.bias.detach()
+        sd[prefix + "running_mean"] = bn.running_mean
+        sd[prefix + "running_var"] = bn.running_var
+
+    sd["conv.seq_module.0.weight"] = conv1.weight.detach()
+    sd["conv.seq_module.0.bias"] = conv1.bias.detach()
+    put_bn("conv.seq_module.1.", bn1)
+    sd["conv.seq_module.3.weight"] = conv2.weight.detach()
+    sd["conv.seq_module.3.bias"] = conv2.bias.detach()
+    put_bn("conv.seq_module.4.", bn2)
+    for i, rnn in enumerate(rnns):
+        for name in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0",
+                     "bias_hh_l0", "weight_ih_l0_reverse",
+                     "weight_hh_l0_reverse", "bias_ih_l0_reverse",
+                     "bias_hh_l0_reverse"):
+            sd[f"rnns.{i}.rnn.{name}"] = getattr(rnn, name).detach()
+        if bns[i] is not None:
+            put_bn(f"rnns.{i}.batch_norm.module.", bns[i])
+    put_bn("fc.0.module.0.", fc_bn)
+    sd["fc.0.module.1.weight"] = fc.weight.detach()
+
+    return {
+        "version": "0.0.1", "hidden_size": hidden, "hidden_layers": layers,
+        "rnn_type": "gru", "audio_conf": {"sample_rate": 16000,
+                                          "window_size": 0.02},
+        "labels": LABELS, "state_dict": sd, "bnm": 0.1,
+        "bidirectional": True, "dropout": 0, "cnn_width": 0,
+        "epoch": 3, "checkpoint": 2,
+        "loss_results": torch.tensor([3.0, 2.0, 1.0]),
+        "wer_results": torch.tensor([50.0, 40.0, 30.0]),
+        "cer_results": torch.tensor([20.0, 15.0, 10.0]),
+    }
+
+
+def test_import_and_forward_parity(tmp_path):
+    hidden, layers = 24, 2
+    b, t = 2, 33
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((b, 161, t)).astype(np.float32) * 0.5
+    lengths = [33, 21]
+    for i, L in enumerate(lengths):
+        x[i, :, L:] = 0
+
+    mods = _build_torch_replica(hidden, layers, len(LABELS))
+    # randomize running stats so eval-mode BN is a real test
+    gen = torch.Generator().manual_seed(7)
+    for m in (mods[1], mods[3], mods[6], *[m for m in mods[5] if m]):
+        m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen)
+                             * 0.1)
+        m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen)
+                            + 0.5)
+
+    tpkg = _reference_package(mods, hidden, layers)
+    tpath = tmp_path / "ref.pth"
+    torch.save(tpkg, str(tpath))
+
+    # CLI-level conversion
+    from deepspeech_tpu.cli.import_torch import main as import_main
+    out = str(tmp_path / "native.ckpt")
+    assert import_main([str(tpath), out]) == 0
+
+    # load through the real inference path and compare forward outputs
+    from deepspeech_tpu.cli.common import load_inference_model
+    model, state, labels, audio_conf, package = load_inference_model(out)
+    assert labels.labels == LABELS
+    assert package["loss_results"] == [3.0, 2.0, 1.0]
+    assert package["epoch"] == 3
+
+    logits, probs, out_lens = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x), jnp.asarray(lengths), False)
+    want_logits, want_lens = _torch_forward(mods, torch.tensor(x), lengths)
+    np.testing.assert_array_equal(np.asarray(out_lens), want_lens)
+    got = np.asarray(logits)
+    for i, L in enumerate(want_lens):
+        np.testing.assert_allclose(got[i, :L], want_logits[i, :L],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_import_rejects_cnn_package():
+    with pytest.raises(NotImplementedError):
+        convert_package({"rnn_type": "cnn", "hidden_size": 8,
+                         "hidden_layers": 1, "labels": "ab",
+                         "state_dict": {}, "bidirectional": True})
