@@ -157,7 +157,8 @@ def main(argv=None) -> int:
     from deepspeech_tpu.decoders import GreedyDecoder
     from deepspeech_tpu.models import build_model, model_from_meta
     from deepspeech_tpu.parallel import (batch_sharding, local_batch_to_global,
-                                         make_mesh, replicated)
+                                         make_mesh, metrics_to_local,
+                                         replicated)
     from deepspeech_tpu.text.labels import Labels, load_labels
     from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
                                       get_lr, make_eval_step, make_train_step,
@@ -289,7 +290,9 @@ def main(argv=None) -> int:
     eval_step_fn = make_eval_step(model, eval_cfg)
 
     def eval_step(s, batch):
-        return eval_step_fn(s, to_device(batch))
+        m = eval_step_fn(s, to_device(batch))
+        # multi-host: batch-sharded outputs -> this host's local rows
+        return metrics_to_local(m, mesh) if world > 1 else m
 
     decoder = GreedyDecoder(labels.labels)
     logger = MetricsLogger(args.log_dir, run_id=args.id.replace(" ", "_"),
@@ -395,6 +398,8 @@ def main(argv=None) -> int:
             paths = batch.get("paths")
             rng, step_key = jax.random.split(rng)
             state, m = train_step(state, to_device(batch), step_key)
+            if world > 1:
+                m = metrics_to_local(m, mesh)
             loss = float(m["loss"])
             if not np.isfinite(loss):
                 loss = 1000.0  # reporting clamp (reference train.py:609-611)

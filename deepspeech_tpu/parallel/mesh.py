@@ -91,3 +91,26 @@ def local_batch_to_global(local_arrays: dict, mesh: Mesh) -> dict:
         global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
         out[k] = jax.make_array_from_process_local_data(s, v, global_shape)
     return out
+
+
+# step outputs that are sharded over the global batch (leading axis)
+_BATCH_METRIC_KEYS = ("per_sample", "greedy", "out_lens", "probs")
+
+
+def metrics_to_local(metrics: dict, mesh: Mesh) -> dict:
+    """Multi-host: turn batch-sharded step outputs back into THIS host's
+    local rows (the inverse of :func:`local_batch_to_global`), so the host
+    decode/curriculum loop can zip them with its local paths/targets.
+    Fetching such arrays directly raises ("spans non-addressable devices");
+    replicated outputs (loss, grad_norm, ...) pass through untouched."""
+    from jax.experimental import multihost_utils
+
+    out = dict(metrics)
+    for k in _BATCH_METRIC_KEYS:
+        v = out.get(k)
+        if v is None or not hasattr(v, "sharding"):
+            continue
+        spec = P("data", *([None] * (v.ndim - 1)))
+        out[k] = np.asarray(
+            multihost_utils.global_array_to_host_local_array(v, mesh, spec))
+    return out

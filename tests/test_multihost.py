@@ -1,0 +1,91 @@
+"""Multi-host smoke: two real processes rendezvous via jax.distributed on
+CPU and train data-parallel through the actual CLI.
+
+Replaces the reference's "just launch N ranked processes" non-strategy
+(reference train.py:97-103, 804-809) with a CI-runnable two-process run:
+rank-strided bins (DistributedBucketingSampler), global batch assembly via
+make_array_from_process_local_data, psum'd loss, leader-only checkpoints.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture()
+def tiny_manifest(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, txt in enumerate(["AB", "BA", "AAB", "ABB", "A B", "B A",
+                             "BB", "AA"]):
+        sr, dur = 16000, 0.3
+        t = np.arange(int(sr * dur)) / sr
+        y = 0.2 * np.sin(2 * np.pi * (300 + 120 * i) * t)
+        y = (y + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        wav, tx = tmp_path / f"u{i}.wav", tmp_path / f"u{i}.txt"
+        wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+        tx.write_text(txt)
+        rows.append(f"{wav},{tx},{dur:.2f}")
+    m = tmp_path / "manifest.csv"
+    m.write_text("\n".join(rows) + "\n")
+    return str(m)
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train(tiny_manifest, tmp_path):
+    port = _free_port()
+    save = str(tmp_path / "ckpt")
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # one CPU device per process -> 2 global devices over 2 processes
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        cmd = [sys.executable, os.path.join(REPO, "train.py"),
+               "--train-manifest", tiny_manifest,
+               "--val-manifest", tiny_manifest,
+               "--batch-size", "4", "--hidden-size", "16",
+               "--hidden-layers", "1", "--num-workers", "0",
+               "--save-folder", save, "--id", f"mh{rank}",
+               "--log-dir", os.path.join(save, "logs"),
+               "--epochs", "1",
+               "--dist-url", f"127.0.0.1:{port}",
+               "--dist-rank", str(rank), "--dist-world-size", "2"]
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}:\n{out[-3000:]}"
+
+    # leader-only checkpointing (reference train.py:809): rank 0 wrote it
+    assert os.path.exists(os.path.join(save, "deepspeech_final.ckpt"))
+    # both ranks logged train events; only the leader's logger is enabled
+    logs = []
+    for root, _, files in os.walk(os.path.join(save, "logs")):
+        logs += [f for f in files if f.endswith(".jsonl")]
+    assert any("mh0" in f for f in logs)
+    assert not any("mh1" in f for f in logs), logs
+    # progress printing is leader-only (reference is_leader, train.py:809)
+    import re
+    final = [re.findall(r"avg loss ([0-9.]+)", o) for o in outs]
+    assert final[0], outs[0][-1500:]
+    assert not final[1], "non-leader rank printed progress"
