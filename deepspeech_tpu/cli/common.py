@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
+import os
 
+
+def enable_compile_cache():
+    """Point XLA's persistent compilation cache at a user-level directory so
+    repeat CLI invocations skip the (1-5 min on TPU) recompiles. Honors an
+    explicit JAX_COMPILATION_CACHE_DIR; disable with
+    JAX_COMPILATION_CACHE_DIR=""."""
+    default = os.path.join(os.path.expanduser("~"), ".cache",
+                           "deepspeech_tpu", "xla")
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+    if not path:
+        return
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 
 def load_inference_model(path: str):

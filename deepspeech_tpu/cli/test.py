@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from deepspeech_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     import jax

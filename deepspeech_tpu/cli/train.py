@@ -149,6 +149,8 @@ def main(argv=None) -> int:
         jax.distributed.initialize()
 
     import jax.numpy as jnp
+    from deepspeech_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()
 
     from deepspeech_tpu.audio import AudioConf
     from deepspeech_tpu.data import (AudioDataLoader, AudioDataset,

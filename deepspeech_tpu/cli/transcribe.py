@@ -82,6 +82,8 @@ def decode_results(decoded_output, decoded_offsets, args, package):
 
 
 def main(argv=None) -> int:
+    from deepspeech_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     from deepspeech_tpu.cli.common import build_decoder, load_inference_model
