@@ -23,7 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="DeepSpeech-TPU evaluation")
     add_inference_args(p)
     p.add_argument("--test-manifest", default="data/test_manifest.csv")
-    p.add_argument("--cache-dir", default="data/cache/")
+    p.add_argument("--cache-dir", default="data/cache/",
+                   help="accepted for flag parity; the reference's npy "
+                        "spectrogram cache is disabled there too "
+                        "(data_loader_aug.py:140-161)")
     p.add_argument("--batch-size", default=20, type=int)
     p.add_argument("--num-workers", default=4, type=int)
     p.add_argument("--verbose", action="store_true",

@@ -25,7 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-manifest", default="data/val_manifest.csv")
     p.add_argument("--train-val-manifest", default="",
                    help="held-out slice of train data for quality tracking")
-    p.add_argument("--cache-dir", default="data/cache/")
+    p.add_argument("--cache-dir", default="data/cache/",
+                   help="accepted for flag parity; the reference's npy "
+                        "spectrogram cache is disabled there too "
+                        "(data_loader_aug.py:140-161)")
     p.add_argument("--curriculum", default="", help="path to curriculum csv")
     p.add_argument("--use-curriculum", action="store_true", default=False)
     p.add_argument("--curriculum-ratio", default=0.5, type=float)
