@@ -308,15 +308,17 @@ def main(argv=None) -> int:
     per_host_batch = max(global_batch // world, 1)
     rng = jax.random.PRNGKey(args.seed)
 
-    # per-epoch metric history rides inside every checkpoint so a resumed
-    # run keeps plotting/reporting the full curve (reference model.py:426-468
-    # loss_results/wer_results/cer_results; restore train.py:854-872)
-    history = {"loss_results": list(package.get("loss_results", []))
-               if package else [],
-               "wer_results": list(package.get("wer_results", []))
-               if package else [],
-               "cer_results": list(package.get("cer_results", []))
-               if package else []}
+    # metric history rides inside every checkpoint so a resumed run keeps
+    # plotting/reporting the full curve (reference model.py:426-468:
+    # per-epoch loss/wer/cer_results + per-checkpoint val and trainval
+    # streams; restore train.py:854-872)
+    _HIST_KEYS = ("loss_results", "wer_results", "cer_results",
+                  "checkpoint_loss_results", "checkpoint_wer_results",
+                  "checkpoint_cer_results", "trainval_checkpoint_loss_results",
+                  "trainval_checkpoint_wer_results",
+                  "trainval_checkpoint_cer_results")
+    history = {k: list(package.get(k) or []) if package else []
+               for k in _HIST_KEYS}
 
     def save_package(path, epoch=None, iteration=None, avg_loss=None):
         if not is_leader:
@@ -345,12 +347,23 @@ def main(argv=None) -> int:
             f"WER {summary['wer']:.2f} CER {summary['cer']:.2f} "
             f"(utt-avg {summary['utt_wer']:.2f}/{summary['utt_cer']:.2f})")
         logger.log(tag, step=epoch, **summary)
+        if tag == "val_checkpoint":
+            history["checkpoint_loss_results"].append(float(summary["loss"]))
+            history["checkpoint_wer_results"].append(float(summary["wer"]))
+            history["checkpoint_cer_results"].append(float(summary["cer"]))
         if trainval_loader is not None:
             tv = evaluate(trainval_loader, eval_step, state, decoder, labels,
                           dataset=trainval_dataset, update_curriculum=True)
             say(f"[trainval] epoch {epoch + 1}: WER {tv['wer']:.2f} "
                 f"CER {tv['cer']:.2f}")
             logger.log("trainval", step=epoch, **tv)
+            if tag == "val_checkpoint":
+                history["trainval_checkpoint_loss_results"].append(
+                    float(tv["loss"]))
+                history["trainval_checkpoint_wer_results"].append(
+                    float(tv["wer"]))
+                history["trainval_checkpoint_cer_results"].append(
+                    float(tv["cer"]))
         return summary
 
     samples_since_ckpt = 0
