@@ -28,6 +28,12 @@ def main(argv=None) -> int:
     n_params = sum(int(np.prod(np.shape(x)))
                    for x in _leaves(package.get("params", {})))
     print(f"  parameters: {n_params:,}")
+    # embedded metric history (reference model.py:426-468)
+    for k in ("loss_results", "wer_results", "cer_results"):
+        vals = package.get(k)
+        if vals is not None and len(vals):
+            tail = ", ".join(f"{float(v):.3f}" for v in list(vals)[-5:])
+            print(f"  {k} ({len(vals)} epochs): ... {tail}")
     return 0
 
 
