@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "train.py:93-94)")
     # observability
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--visdom", dest="tensorboard", action="store_true",
+                   help="accepted for reference-flag parity; live plots go "
+                        "to TensorBoard + the JSONL event log instead of a "
+                        "visdom server")
+    p.add_argument("--enorm", action="store_true",
+                   help="accepted for reference-flag parity; the reference's "
+                        "enorm import is commented out there too "
+                        "(train.py:9, 68) — no-op")
     p.add_argument("--log-dir", default="visualize/deepspeech_final")
     p.add_argument("--log-params", action="store_true")
     p.add_argument("--id", default="Deepspeech training")
