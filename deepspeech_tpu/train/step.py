@@ -115,8 +115,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
         new_params = optax.apply_updates(state.params, updates)
         # reference skips the optimizer step on NaN logits (train.py:625-630);
         # we extend the guard to non-finite grads (same intent, stronger).
-        # Per-leaf where-selects, NOT lax.cond: the conditional measured
-        # slower at runtime (branch output copies) and 5x slower to compile.
+        # Per-leaf where-selects are load-bearing: scaling the updates by an
+        # ok-flag fails on NaN updates (NaN * 0 == NaN, see test_step_guard),
+        # and lax.cond measured slower at runtime and 5x slower to compile.
         grads_ok = jnp.logical_and(
             jnp.logical_not(aux["logits_has_nan"]),
             jnp.isfinite(optax.global_norm(grads)))
