@@ -1,0 +1,123 @@
+"""End-to-end CLI integration: train.py -> test.py -> transcribe.py as
+real subprocesses, the way a reference user drives the framework
+(reference test.py:39-214, transcribe.py:74-105).
+
+A tiny model is trained once (module-scoped) and shared by the eval and
+transcription tests.
+"""
+
+import csv
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, argv, timeout=420):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, os.path.join(REPO, script)] + argv
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train 1 epoch on 6 synthetic utterances; return (ckpt, manifest, wav)."""
+    tmp = tmp_path_factory.mktemp("cli_e2e")
+    rng = np.random.default_rng(0)
+    rows, wavs = [], []
+    for i, txt in enumerate(["AB", "BA", "AAB", "ABB", "A B", "B A"]):
+        sr, dur = 16000, 0.3
+        t = np.arange(int(sr * dur)) / sr
+        y = 0.2 * np.sin(2 * np.pi * (300 + 140 * i) * t)
+        y = (y + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        wav, tx = tmp / f"u{i}.wav", tmp / f"u{i}.txt"
+        wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+        tx.write_text(txt)
+        rows.append(f"{wav},{tx},{dur:.2f}")
+        wavs.append(str(wav))
+    manifest = tmp / "manifest.csv"
+    manifest.write_text("\n".join(rows) + "\n")
+
+    save = tmp / "ckpt"
+    r = _run("train.py", [
+        "--train-manifest", str(manifest), "--val-manifest", str(manifest),
+        "--batch-size", "2", "--hidden-size", "16", "--hidden-layers", "1",
+        "--num-workers", "0", "--epochs", "1", "--save-folder", str(save),
+        "--id", "cli-e2e", "--log-dir", str(save / "logs")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = save / "deepspeech_final.ckpt"
+    assert ckpt.exists()
+    return str(ckpt), str(manifest), wavs[0]
+
+
+@pytest.mark.slow
+def test_eval_cli_greedy(trained, tmp_path):
+    ckpt, manifest, _ = trained
+    report = tmp_path / "report.csv"
+    dump = tmp_path / "processed.pkl"
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "3", "--num-workers", "0", "--verbose",
+        "--report-file", str(report), "--output-path", str(dump)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # both summary averaging modes printed (reference test.py:197-209)
+    assert "Summary (token-weighted)" in r.stdout
+    assert "Summary (per-utt averaged)" in r.stdout
+    assert "(6 utterances)" in r.stdout
+    # --verbose triage lines
+    assert "Ref:" in r.stdout and "Hyp:" in r.stdout
+
+    # CSV report: header + one row per utterance
+    with open(report) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["wav", "text", "transcript", "CER", "WER"]
+    assert len(rows) == 1 + 6
+
+    # per-utterance logits dump next to the wavs + index pickle
+    with open(dump, "rb") as f:
+        processed = pickle.load(f)
+    assert len(processed) == 6
+    with open(processed[0], "rb") as f:
+        utt = pickle.load(f)
+    assert {"probs", "len", "transcript", "reference",
+            "filename", "wer", "cer"} <= set(utt)
+    assert utt["probs"].shape[0] == utt["len"]
+
+
+@pytest.mark.slow
+def test_eval_cli_beam(trained, tmp_path):
+    ckpt, manifest, _ = trained
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "3", "--num-workers", "0", "--max-items", "2",
+        "--decoder", "beam", "--beam-width", "8",
+        "--report-file", str(tmp_path / "r.csv")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
+def test_transcribe_cli(trained):
+    ckpt, _, wav = trained
+    r = _run("transcribe.py", [
+        "--model-path", ckpt, "--audio-path", wav, "--offsets", "--meta"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["output"], out
+    hyp = out["output"][0]
+    assert "transcription" in hyp
+    assert isinstance(hyp.get("offsets"), list)
+    # offsets are monotone frame indices
+    assert hyp["offsets"] == sorted(hyp["offsets"])
+    assert out["_meta"]["decoder"]["type"] == "greedy"
+    assert out["input"]["source"] == wav
+    assert out["model"]["model"] == ckpt
