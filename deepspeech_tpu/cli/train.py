@@ -145,7 +145,11 @@ def audio_conf_from_args(args, train: bool):
         aug_prob_spect=args.aug_prob_spect if train else 0)
 
 
-def main(argv=None) -> int:
+def main(argv=None, observers=()) -> int:
+    """Run training. ``observers`` is an optional iterable of
+    ``deepspeech_tpu.utils.Observer`` instances whose event hooks fire at
+    epoch/batch/checkpoint boundaries — the extension point the reference
+    sketched but never wired (reference observer.py:8-22)."""
     args = build_parser().parse_args(argv)
 
     import jax
@@ -178,7 +182,8 @@ def main(argv=None) -> int:
                                       set_lr)
     from deepspeech_tpu.train import checkpoint as ckpt
     from deepspeech_tpu.train.evaluate import decode_batch_greedy, evaluate
-    from deepspeech_tpu.utils import AverageMeter, MetricsLogger, StopWatch
+    from deepspeech_tpu.utils import (AverageMeter, MetricsLogger,
+                                      ObserverList, StopWatch)
 
     is_leader = jax.process_index() == 0
     world = jax.process_count()
@@ -308,6 +313,7 @@ def main(argv=None) -> int:
         return metrics_to_local(m, mesh) if world > 1 else m
 
     decoder = GreedyDecoder(labels.labels)
+    obs = ObserverList(observers)
     logger = MetricsLogger(args.log_dir, run_id=args.id.replace(" ", "_"),
                            tensorboard=args.tensorboard, enabled=is_leader)
     os.makedirs(args.save_folder, exist_ok=True)
@@ -344,6 +350,7 @@ def main(argv=None) -> int:
         if trainval_dataset is not None:
             trainval_dataset.save_curriculum(path + ".trainval.curriculum.csv")
         logger.log("checkpoint", path=path, epoch=epoch, iteration=iteration)
+        obs.emit("on_checkpoint", epoch or 0, iteration or 0, path)
         say(f"  saved {path}")
 
     def run_validation(epoch, tag="val"):
@@ -418,10 +425,12 @@ def main(argv=None) -> int:
         epoch_t0 = time.perf_counter()
         it = start_iter
         start_iter = 0
+        obs.emit("on_epoch_start", epoch)
         for batch in loader.iter_from(it):
             watch.mark_data()
             maybe_profile(global_step)
             paths = batch.get("paths")
+            obs.emit("on_batch_start", epoch, it)
             rng, step_key = jax.random.split(rng)
             state, m = train_step(state, to_device(batch), step_key)
             if world > 1:
@@ -437,6 +446,7 @@ def main(argv=None) -> int:
             for i, (tr, ref, w, c, wr, cr) in enumerate(results):
                 train_dataset.update_curriculum(paths[i], ref, tr, None,
                                                 c / cr, w / wr)
+            obs.emit("on_batch_end", epoch, it, loss=loss)
             watch.mark_batch()
             if it % 10 == 0:
                 mean_wer = float(np.mean([w / wr for _, _, w, _, wr, _
@@ -483,6 +493,8 @@ def main(argv=None) -> int:
             f"avg loss {loss_meter.avg:.3f}")
         logger.log("epoch", step=epoch, loss=loss_meter.avg,
                    seconds=epoch_time)
+        obs.emit("on_epoch_end", epoch, loss=loss_meter.avg,
+                 seconds=epoch_time)
 
         summary = run_validation(epoch)
         history["loss_results"].append(float(loss_meter.avg))
