@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 
 def main():
+    from deepspeech_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
     from deepspeech_tpu.audio import AudioConf
     from deepspeech_tpu.models import DeepSpeech2
     from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
