@@ -1,17 +1,31 @@
-"""Training-throughput benchmark: audio-seconds of speech processed per
-second per chip (the BASELINE.json north-star metric).
+"""Benchmarks for the BASELINE.json configs.
 
-Runs the full jitted train step (device featurize -> DS2 forward -> CTC ->
-backward -> update) on the reference's default training config
-(6 x BiGRU-800, batch 20; reference train.py:41-61) with 7.5-second
-utterances (near the 15 s manifest cap / bucketing midpoint), on whatever
-accelerator JAX provides (the real TPU chip under the driver).
+Default (no args): training-throughput benchmark — audio-seconds of speech
+processed per second per chip (the BASELINE.json north-star metric) on the
+reference's default training config (6 x BiGRU-800, batch 20; reference
+train.py:41-61), printing ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} for the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline compares
-against the previous recorded run in bench_baseline.json (1.0 on first run).
+Modes (``python bench.py --mode X`` or ``BENCH_MODE=X``):
+
+* ``step``       — bare jitted train step (default; BASELINE config 2 shape).
+* ``loop``       — the REAL training loop via the train CLI (data loading,
+                   SpecAugment, per-batch curriculum decode, logging) on a
+                   synthetic manifest; proves the async pipeline keeps loop
+                   throughput near the bare step.
+* ``eval``       — eval-loop throughput: eval step + host greedy decode +
+                   WER (reference test.py loop shape).
+* ``beam``       — beam-width-128 CTC decode (BASELINE config 3): on-device
+                   beam search and the native C++ backend.
+* ``bigru1600``  — bare train step at BiGRU-1600 (BASELINE configs 4-5 model).
+* ``selfcheck``  — Pallas-vs-XLA equivalence of the CTC loss and RNN layer
+                   on the CURRENT backend (the real chip under the driver).
+* ``all``        — every mode, one JSON line each (feeds PERF.md).
+
+Each mode prints exactly one JSON line; ``all`` prints one per mode.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -23,35 +37,33 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    from deepspeech_tpu.cli.common import enable_compile_cache
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
 
-    enable_compile_cache()
 
+def make_batch(batch_size, seconds, target_len=96, num_classes=30, seed=0):
+    num_samples = int(16000 * seconds)
+    rng = np.random.default_rng(seed)
+    return {
+        "audio": jnp.asarray(
+            rng.standard_normal((batch_size, num_samples)).astype(np.float32)
+            * 0.1),
+        "audio_lengths": jnp.asarray(
+            np.full(batch_size, num_samples - 160, np.int32)),
+        "targets": jnp.asarray(
+            rng.integers(1, num_classes, (batch_size, target_len))
+            .astype(np.int32)),
+        "target_lengths": jnp.asarray(
+            np.full(batch_size, target_len, np.int32)),
+    }
+
+
+def _build(hidden, layers, dtype="bfloat16"):
     from deepspeech_tpu.audio import AudioConf
     from deepspeech_tpu.models import DeepSpeech2
     from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
                                       make_train_step)
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 20))
-    seconds = float(os.environ.get("BENCH_SECONDS", 7.5))
-    hidden = int(os.environ.get("BENCH_HIDDEN", 800))
-    layers = int(os.environ.get("BENCH_LAYERS", 6))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
-
-    num_samples = int(16000 * seconds)
-    rng = np.random.default_rng(0)
-    batch = {
-        "audio": jnp.asarray(
-            rng.standard_normal((batch_size, num_samples)).astype(np.float32) * 0.1),
-        "audio_lengths": jnp.asarray(
-            np.full(batch_size, num_samples - 160, np.int32)),
-        "targets": jnp.asarray(
-            rng.integers(1, 30, (batch_size, 96)).astype(np.int32)),
-        "target_lengths": jnp.asarray(np.full(batch_size, 96, np.int32)),
-    }
-
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = DeepSpeech2(num_classes=30, hidden_size=hidden,
                         hidden_layers=layers, cell="gru", bidirectional=True,
                         compute_dtype=jnp.bfloat16 if dtype == "bfloat16"
@@ -60,7 +72,47 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 161, 51)), jnp.asarray([51]), False)
     state = TrainState.create(variables, tx)
-    train_step = make_train_step(model, tx, StepConfig(audio_conf=AudioConf()))
+    step = make_train_step(model, tx, StepConfig(audio_conf=AudioConf()))
+    return model, state, step
+
+
+def _vs_baseline(value):
+    """Ratio vs the first recorded run (the reference publishes no numbers,
+    BASELINE.md; bench_baseline.json is our own round-1 anchor)."""
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    try:
+        with open(base_path) as f:
+            prev = json.load(f)["value"]
+        return value / prev if prev > 0 else 1.0
+    except Exception:
+        with open(base_path, "w") as f:
+            json.dump({"value": value}, f)
+        return 1.0
+
+
+def _emit(metric, value, unit, vs=None, **extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(vs if vs is not None else 1.0, 3)}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
+
+
+# ---------------------------------------------------------------------------
+# step / bigru1600
+# ---------------------------------------------------------------------------
+
+def bench_step(hidden=None, layers=None, tag=""):
+    batch_size = _env_int("BENCH_BATCH", 20)
+    seconds = float(os.environ.get("BENCH_SECONDS", 7.5))
+    hidden = hidden or _env_int("BENCH_HIDDEN", 800)
+    layers = layers or _env_int("BENCH_LAYERS", 6)
+    steps = _env_int("BENCH_STEPS", 20)
+
+    batch = make_batch(batch_size, seconds)
+    _, state, train_step = _build(hidden, layers,
+                                  os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     key = jax.random.PRNGKey(0)
     # warmup / compile; the float() readback forces real completion — on the
@@ -75,39 +127,275 @@ def main():
     # large run-to-run contention noise — peak is the honest device number).
     # Each window is closed by a loss readback that depends on every step in
     # the window; its ~25 ms tunnel round-trip is amortized over the window.
-    windows = int(os.environ.get("BENCH_WINDOWS", 3))
+    windows = _env_int("BENCH_WINDOWS", 3)
     best_dt = float("inf")
     for w in range(windows):
         t0 = time.perf_counter()
         for i in range(steps):
-            state, metrics = train_step(state, batch,
-                                         jax.random.fold_in(key, w * steps + i))
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(key, w * steps + i))
         float(metrics["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     audio_seconds = batch_size * seconds * steps
     n_chips = max(len(jax.devices()), 1)
     value = audio_seconds / best_dt / n_chips
+    metric = "train_audio_seconds_per_s_per_chip" + tag
+    vs = _vs_baseline(value) if not tag else None
+    return _emit(metric, value, "audio-s/s/chip", vs,
+                 hidden=hidden, layers=layers)
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-    vs = 1.0
+
+# ---------------------------------------------------------------------------
+# loop — the real train CLI on a synthetic manifest
+# ---------------------------------------------------------------------------
+
+def bench_loop():
+    import shutil
+    import tempfile
+
+    from scipy.io import wavfile
+
+    from deepspeech_tpu.cli import train as train_cli
+    from deepspeech_tpu.utils import Observer
+
+    batch_size = _env_int("BENCH_BATCH", 20)
+    seconds = float(os.environ.get("BENCH_SECONDS", 7.5))
+    bins = _env_int("BENCH_LOOP_BINS", 30)
+    layers = _env_int("BENCH_LAYERS", 6)
+    hidden = _env_int("BENCH_HIDDEN", 800)
+
+    tmp = tempfile.mkdtemp(prefix="bench_loop_")
     try:
-        with open(base_path) as f:
-            prev = json.load(f)["value"]
-        if prev > 0:
-            vs = value / prev
+        sr = 16000
+        rng = np.random.default_rng(0)
+        t = np.arange(int(sr * seconds)) / sr
+        rows = []
+        words = ["the quick brown fox", "jumps over the lazy dog",
+                 "pack my box with five dozen jugs"]
+        for i in range(bins * batch_size):
+            y = (0.2 * np.sin(2 * np.pi * (200 + 10 * (i % 40)) * t)
+                 + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+            wav = os.path.join(tmp, f"u{i}.wav")
+            txt = os.path.join(tmp, f"u{i}.txt")
+            wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+            with open(txt, "w") as f:
+                f.write(words[i % len(words)].upper())
+            rows.append(f"{wav},{txt},{seconds:.2f}")
+        manifest = os.path.join(tmp, "train.csv")
+        with open(manifest, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        # tiny val manifest (validation runs OUTSIDE the timed window)
+        val_manifest = os.path.join(tmp, "val.csv")
+        with open(val_manifest, "w") as f:
+            f.write("\n".join(rows[:4]) + "\n")
+
+        class EpochTimer(Observer):
+            def __init__(self):
+                self.t0 = {}
+                self.t1 = {}
+
+            def on_epoch_start(self, epoch, **kw):
+                self.t0[epoch] = time.perf_counter()
+
+            def on_epoch_end(self, epoch, **kw):
+                self.t1[epoch] = time.perf_counter()
+
+        timer = EpochTimer()
+        # epoch 0 warms every compile (SortaGrad epoch); epoch 1 is timed.
+        # SpecAugment on device (BASELINE config 2's aug), curriculum decode
+        # always on (it is unconditional in the loop).
+        rc = train_cli.main([
+            "--train-manifest", manifest, "--val-manifest", val_manifest,
+            "--batch-size", str(batch_size), "--hidden-size", str(hidden),
+            "--hidden-layers", str(layers), "--epochs", "2",
+            "--num-workers", "8", "--aug-prob-spect", "0.3",
+            "--save-folder", os.path.join(tmp, "ckpt"),
+            "--log-dir", os.path.join(tmp, "logs"),
+            "--silent", "--id", "bench-loop"], observers=[timer])
+        assert rc == 0
+        dt = timer.t1[1] - timer.t0[1]
+        audio_seconds = bins * batch_size * seconds
+        n_chips = max(len(jax.devices()), 1)
+        value = audio_seconds / dt / n_chips
+        return _emit("train_loop_audio_seconds_per_s_per_chip", value,
+                     "audio-s/s/chip", hidden=hidden, layers=layers,
+                     bins=bins)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# eval — eval step + host greedy decode + WER (test.py loop shape)
+# ---------------------------------------------------------------------------
+
+def bench_eval():
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.decoders import GreedyDecoder
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.text.labels import Labels, load_labels
+    from deepspeech_tpu.train import StepConfig, make_eval_step
+    from deepspeech_tpu.train.evaluate import decode_batch_greedy
+
+    batch_size = _env_int("BENCH_BATCH", 20)
+    seconds = float(os.environ.get("BENCH_SECONDS", 7.5))
+    hidden = _env_int("BENCH_HIDDEN", 800)
+    layers = _env_int("BENCH_LAYERS", 5)
+    steps = _env_int("BENCH_STEPS", 20)
+
+    labels = Labels(load_labels(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "labels.json")))
+    model, state, _ = _build(hidden, layers)
+    eval_step = make_eval_step(model, StepConfig(audio_conf=AudioConf()))
+    decoder = GreedyDecoder(labels.labels)
+    batch = make_batch(batch_size, seconds)
+
+    m = eval_step(state, batch)
+    decode_batch_greedy(decoder, m, batch, labels)  # warm
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m = eval_step(state, batch)
+        decode_batch_greedy(decoder, m, batch, labels)
+    dt = time.perf_counter() - t0
+    value = batch_size * seconds * steps / dt / max(len(jax.devices()), 1)
+    return _emit("eval_audio_seconds_per_s_per_chip", value,
+                 "audio-s/s/chip", hidden=hidden, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# beam — width-128 CTC decode (BASELINE config 3)
+# ---------------------------------------------------------------------------
+
+def bench_beam():
+    from deepspeech_tpu.decoders.beam_device import ctc_beam_search_device
+
+    batch = _env_int("BENCH_BATCH", 20)
+    seconds = float(os.environ.get("BENCH_SECONDS", 7.5))
+    width = _env_int("BENCH_BEAM_WIDTH", 128)
+    frames = int(seconds * 100) // 2  # stride-2 conv front
+    num_classes = 30
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((batch, frames, num_classes)) * 2.0
+    log_probs = jnp.asarray(
+        jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), -1))
+    lengths = jnp.full((batch,), frames, jnp.int32)
+
+    search = jax.jit(lambda lp, ln: ctc_beam_search_device(
+        lp, ln, beam_width=width))
+    out = search(log_probs, lengths)
+    jax.block_until_ready(out)
+
+    reps = _env_int("BENCH_STEPS", 10)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = search(log_probs, lengths)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    dev_value = batch * seconds * reps / dt
+    line = _emit("beam128_device_audio_seconds_per_s", dev_value,
+                 "audio-s/s", width=width)
+
+    # native C++ backend on the same posteriors (host, per-utterance)
+    try:
+        from deepspeech_tpu.decoders.beam_native import (available,
+                                                         ctc_beam_search_native)
+        if available():
+            lp_host = np.asarray(log_probs[0])
+            t0 = time.perf_counter()
+            n = _env_int("BENCH_NATIVE_UTTS", 5)
+            for _ in range(n):
+                ctc_beam_search_native(lp_host, beam_width=width)
+            dt = time.perf_counter() - t0
+            _emit("beam128_native_audio_seconds_per_s",
+                  n * seconds / dt, "audio-s/s", width=width)
     except Exception:
-        with open(base_path, "w") as f:
-            json.dump({"value": value,
-                       "config": {"batch": batch_size, "seconds": seconds,
-                                  "hidden": hidden, "layers": layers}}, f)
-    print(json.dumps({
-        "metric": "train_audio_seconds_per_s_per_chip",
-        "value": round(value, 2),
-        "unit": "audio-s/s/chip",
-        "vs_baseline": round(vs, 3),
-    }))
+        pass
+    return line
+
+
+# ---------------------------------------------------------------------------
+# selfcheck — Pallas == XLA on the current backend
+# ---------------------------------------------------------------------------
+
+def bench_selfcheck():
+    """Assert the auto-selected fast paths (ops/ctc.py, ops/rnn.py) agree
+    with their XLA fallbacks ON THIS BACKEND (the real chip under the
+    driver; CPU tests only cover interpret mode)."""
+    from deepspeech_tpu.ops.ctc import ctc_loss
+    from deepspeech_tpu.ops.pallas import pallas_supported
+    from deepspeech_tpu.ops.rnn import rnn_scan
+
+    rng = np.random.default_rng(0)
+    b, t, c, l = 8, 120, 30, 24
+    logits = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(t // 2, t + 1, b).astype(np.int32))
+    targets = jnp.asarray(rng.integers(1, c, (b, l)).astype(np.int32))
+    tlens = jnp.asarray(rng.integers(l // 2, l + 1, b).astype(np.int32))
+
+    results = {"backend": jax.devices()[0].platform,
+               "pallas_active": bool(pallas_supported())}
+
+    ctc_x = np.asarray(ctc_loss(logits, lengths, targets, tlens, impl="xla"))
+    ctc_a = np.asarray(ctc_loss(logits, lengths, targets, tlens, impl="auto"))
+    results["ctc_max_abs_err"] = float(np.max(np.abs(ctc_x - ctc_a)))
+    ctc_ok = np.allclose(ctc_x, ctc_a, rtol=2e-3, atol=2e-3)
+
+    h, f = 64, 128
+    x = jnp.asarray(rng.standard_normal((t, b, f)).astype(np.float32))
+    xl = jnp.asarray(rng.integers(t // 2, t + 1, b).astype(np.int32))
+    w_ih = jnp.asarray(rng.standard_normal((2, f, 3 * h)).astype(np.float32)
+                       * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((2, h, 3 * h)).astype(np.float32)
+                       * 0.1)
+    b_ih = jnp.zeros((2, 3 * h))
+    b_hh = jnp.zeros((2, 3 * h))
+    r_x = np.asarray(rnn_scan(x, xl, w_ih, b_ih, w_hh, b_hh, cell="gru",
+                              bidirectional=True,
+                              compute_dtype=jnp.bfloat16, impl="xla"))
+    r_a = np.asarray(rnn_scan(x, xl, w_ih, b_ih, w_hh, b_hh, cell="gru",
+                              bidirectional=True,
+                              compute_dtype=jnp.bfloat16, impl="auto"))
+    results["rnn_max_abs_err"] = float(np.max(np.abs(r_x - r_a)))
+    # both paths stream bf16 through the recurrence; bound their divergence
+    # at bf16 rounding scale
+    rnn_ok = np.allclose(r_x, r_a, rtol=3e-2, atol=3e-2)
+
+    ok = bool(ctc_ok and rnn_ok)
+    line = {"metric": "pallas_xla_equivalence", "value": 1.0 if ok else 0.0,
+            "unit": "pass", "vs_baseline": 1.0, **results}
+    print(json.dumps(line), flush=True)
+    if not ok:
+        raise SystemExit("selfcheck FAILED: " + json.dumps(results))
+    return line
+
+
+MODES = {
+    "step": lambda: bench_step(),
+    "loop": bench_loop,
+    "eval": bench_eval,
+    "beam": bench_beam,
+    "bigru1600": lambda: bench_step(hidden=1600, tag="_bigru1600"),
+    "selfcheck": bench_selfcheck,
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", default=os.environ.get("BENCH_MODE", "step"),
+                        choices=list(MODES) + ["all"])
+    args = parser.parse_args()
+
+    from deepspeech_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()
+
+    if args.mode == "all":
+        for name, fn in MODES.items():
+            fn()
+        return 0
+    MODES[args.mode]()
+    return 0
 
 
 if __name__ == "__main__":

@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-steps", default=5, type=int,
                    help="number of steps to trace")
     # device/bucketing
+    p.add_argument("--mesh-model", default=1, type=int,
+                   help="tensor-parallel (model) mesh axis size: shards the "
+                        "RNN gate matrices, classifier head, and their "
+                        "optimizer moments over this many chips via ICI "
+                        "(BASELINE north star; capability beyond the "
+                        "reference's DP-only train.py:948-951). devices = "
+                        "data_axis x mesh_model")
     p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
                    help="audio padding granularity (static XLA shapes)")
     p.add_argument("--max-items", default=0, type=int,
@@ -173,9 +180,10 @@ def main(argv=None, observers=()) -> int:
                                      DistributedBucketingSampler)
     from deepspeech_tpu.decoders import GreedyDecoder
     from deepspeech_tpu.models import build_model, model_from_meta
-    from deepspeech_tpu.parallel import (batch_sharding, local_batch_to_global,
-                                         make_mesh, metrics_to_local,
-                                         replicated)
+    from deepspeech_tpu.parallel import (batch_sharding,
+                                         equalize_batch_padding,
+                                         local_batch_to_global, make_mesh,
+                                         metrics_to_local, shard_state)
     from deepspeech_tpu.text.labels import Labels, load_labels
     from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
                                       get_lr, make_eval_step, make_train_step,
@@ -267,36 +275,60 @@ def main(argv=None, observers=()) -> int:
                                        * args.bucket_audio_seconds))
 
     # Collate pads the batch dimension with valid=0 rows; round it up to a
-    # multiple of the local device count so DP batch sharding always divides
-    # (e.g. batch 2 on an 8-device mesh). Real sample count per bin is still
-    # the requested batch size — padding rows carry zero loss/metric weight.
-    dp_local = jax.local_device_count()
+    # multiple of the local data-axis extent so DP batch sharding always
+    # divides (e.g. batch 2 on an 8-device mesh). Real sample count per bin
+    # is still the requested batch size — padding rows carry zero
+    # loss/metric weight. With --mesh-model N, only devices/N of the local
+    # chips sit on the data axis.
+    tp = args.mesh_model
+    if jax.local_device_count() % tp != 0:
+        raise SystemExit(f"--mesh-model {tp} does not divide the "
+                         f"{jax.local_device_count()} local devices")
+    dp_local = max(jax.local_device_count() // tp, 1)
 
     def _pad_bs(bs):
         return -(-bs // dp_local) * dp_local
 
-    val_sampler = BucketingSampler(len(val_dataset), args.val_batch_size)
-    val_loader = AudioDataLoader(val_dataset, val_sampler,
+    def _eval_sampler(n):
+        # multi-host: shard eval like train (disjoint rank-strided bins +
+        # cross-host counter reduction in evaluate()) instead of the
+        # reference's world-x duplicated full-set pass (train.py:425-429)
+        if world > 1:
+            return DistributedBucketingSampler(
+                n, args.val_batch_size, num_replicas=world,
+                rank=jax.process_index())
+        return BucketingSampler(n, args.val_batch_size)
+
+    val_loader = AudioDataLoader(val_dataset, _eval_sampler(len(val_dataset)),
                                  _pad_bs(args.val_batch_size), bucket,
                                  args.num_workers)
     trainval_loader = None
     if trainval_dataset is not None:
-        tv_sampler = BucketingSampler(len(trainval_dataset),
-                                      args.val_batch_size)
-        trainval_loader = AudioDataLoader(trainval_dataset, tv_sampler,
+        trainval_loader = AudioDataLoader(trainval_dataset,
+                                          _eval_sampler(len(trainval_dataset)),
                                           _pad_bs(args.val_batch_size), bucket,
                                           args.num_workers)
 
     # -- device placement -----------------------------------------------------
+    # DP x TP mesh: batch over `data`, RNN gates / head / optimizer moments
+    # over `model` (reference was DP-only, train.py:948-951; the model axis
+    # is the BASELINE north-star capability — shard the RNN stack over ICI
+    # when it exceeds one chip).
     n_devices = len(jax.devices())
-    mesh = make_mesh(data=n_devices, model=1) if n_devices > 1 else None
+    mesh = (make_mesh(data=n_devices // tp, model=tp)
+            if n_devices > 1 or tp > 1 else None)
     if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+        jax.set_mesh(mesh)  # ambient mesh for sharding propagation
+        state = shard_state(state, mesh)
+        if is_leader and tp > 1 and not args.silent:
+            print(f"mesh: data={n_devices // tp} x model={tp}", flush=True)
 
     def to_device(batch):
         batch = {k: v for k, v in batch.items() if k != "paths"}
         if world > 1:
-            return local_batch_to_global(batch, mesh)
+            # hosts' bins can land on different bucket boundaries; agree on
+            # shapes before assembling the global arrays
+            return local_batch_to_global(equalize_batch_padding(batch), mesh)
         if mesh is not None:
             return {k: jax.device_put(v, batch_sharding(mesh))
                     for k, v in batch.items()}
@@ -385,6 +417,36 @@ def main(argv=None, observers=()) -> int:
     profiling = False
     global_step = 0
 
+    # -- async metric pipeline --------------------------------------------
+    # The reference paid a full device->host sync + greedy decode +
+    # Levenshtein on the main thread every batch (train.py:575-591). Here
+    # the readback of step N's metrics happens only after step N+1 has been
+    # dispatched (double-buffering: host blocks on a step that is already
+    # done while the next one runs), and the string decode + edit distance +
+    # curriculum update run on a worker thread. Curriculum state is only
+    # consumed at epoch/checkpoint boundaries, where we drain the worker.
+    from concurrent.futures import ThreadPoolExecutor
+
+    decode_pool = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="decode")
+    decode_futures: list = []
+    last_wer = [0.0]  # latest worker-computed batch WER, for the log line
+
+    def _decode_and_update(m_host, batch, paths):
+        results = decode_batch_greedy(decoder, m_host, batch, labels)
+        for i, (tr, ref, w, c, wr, cr) in enumerate(results):
+            train_dataset.update_curriculum(paths[i], ref, tr, None,
+                                            c / cr, w / wr)
+        if results:
+            last_wer[0] = float(np.mean([w / wr for _, _, w, _, wr, _
+                                         in results]))
+        return results
+
+    def drain_decodes():
+        for f in decode_futures:
+            f.result()
+        decode_futures.clear()
+
     def maybe_profile(step):
         """jax.profiler trace window around [profile_start, +profile_steps)
         (the reference had no profiler at all, SURVEY §5; this is the
@@ -426,6 +488,49 @@ def main(argv=None, observers=()) -> int:
         it = start_iter
         start_iter = 0
         obs.emit("on_epoch_start", epoch)
+
+        pending = None  # (metrics, host batch, paths, iteration) of step N-1
+
+        def process_pending():
+            """Read back + account the previously dispatched step. Called
+            AFTER the next step has been dispatched, so the device transfer
+            waits on work that is already complete while the new step runs."""
+            nonlocal pending
+            if pending is None:
+                return
+            m, pbatch, ppaths, pit = pending
+            pending = None
+            if world > 1:
+                m = metrics_to_local(m, mesh)
+            loss = float(m["loss"])  # blocks until step N-1 is done
+            if not np.isfinite(loss):
+                loss = 1000.0  # reporting clamp (reference train.py:609-611)
+            n_valid = int(np.asarray(pbatch["valid"]).sum())
+            loss_meter.update(loss, n_valid)
+            # greedy decode + Levenshtein + curriculum on the worker thread
+            # (reference did this inline every batch, train.py:575-591)
+            m_host = {"greedy": np.asarray(m["greedy"]),
+                      "out_lens": np.asarray(m["out_lens"])}
+            decode_futures.append(decode_pool.submit(
+                _decode_and_update, m_host, pbatch, ppaths))
+            obs.emit("on_batch_end", epoch, pit, loss=loss)
+            watch.mark_batch()
+            if pit % 10 == 0:
+                say(f"epoch {epoch + 1} iter {pit + 1}/{len(loader)} "
+                    f"loss {loss:.3f} (avg {loss_meter.avg:.3f}) "
+                    f"wer {100 * last_wer[0]:.1f} "
+                    f"batch {watch.batch_time.avg:.2f}s "
+                    f"data {watch.data_time.avg:.2f}s "
+                    f"lr {get_lr(jax.device_get(state.opt_state)):.2e}")
+                logger.log("train", step=epoch * len(loader) + pit,
+                           loss=loss, avg_loss=loss_meter.avg,
+                           lr=get_lr(jax.device_get(state.opt_state)),
+                           skipped=bool(m["step_skipped"]))
+            if args.log_params and pit % 100 == 0 and is_leader:
+                logger.log_params(jax.device_get(state.params),
+                                  float(m["grad_norm"]),
+                                  epoch * len(loader) + pit)
+
         for batch in loader.iter_from(it):
             watch.mark_data()
             maybe_profile(global_step)
@@ -433,43 +538,18 @@ def main(argv=None, observers=()) -> int:
             obs.emit("on_batch_start", epoch, it)
             rng, step_key = jax.random.split(rng)
             state, m = train_step(state, to_device(batch), step_key)
-            if world > 1:
-                m = metrics_to_local(m, mesh)
-            loss = float(m["loss"])
-            if not np.isfinite(loss):
-                loss = 1000.0  # reporting clamp (reference train.py:609-611)
+            process_pending()  # overlap: account step N-1 while N runs
+            pending = (m, batch, paths, it)
             n_valid = int(np.asarray(batch["valid"]).sum())
-            loss_meter.update(loss, n_valid)
-            # per-batch greedy decode feeds the curriculum + live WER/CER
-            # (reference train.py:575-591) — ids already argmaxed on device
-            results = decode_batch_greedy(decoder, m, batch, labels)
-            for i, (tr, ref, w, c, wr, cr) in enumerate(results):
-                train_dataset.update_curriculum(paths[i], ref, tr, None,
-                                                c / cr, w / wr)
-            obs.emit("on_batch_end", epoch, it, loss=loss)
-            watch.mark_batch()
-            if it % 10 == 0:
-                mean_wer = float(np.mean([w / wr for _, _, w, _, wr, _
-                                          in results])) if results else 0.0
-                say(f"epoch {epoch + 1} iter {it + 1}/{len(loader)} "
-                    f"loss {loss:.3f} (avg {loss_meter.avg:.3f}) "
-                    f"wer {100 * mean_wer:.1f} "
-                    f"batch {watch.batch_time.avg:.2f}s "
-                    f"data {watch.data_time.avg:.2f}s "
-                    f"lr {get_lr(jax.device_get(state.opt_state)):.2e}")
-                logger.log("train", step=epoch * len(loader) + it,
-                           loss=loss, avg_loss=loss_meter.avg,
-                           lr=get_lr(jax.device_get(state.opt_state)),
-                           skipped=bool(m["step_skipped"]))
-            if args.log_params and it % 100 == 0 and is_leader:
-                logger.log_params(jax.device_get(state.params),
-                                  float(m["grad_norm"]),
-                                  epoch * len(loader) + it)
             it += 1
             global_step += 1
             samples_since_ckpt += n_valid
             if (args.checkpoint_per_samples
                     and samples_since_ckpt >= args.checkpoint_per_samples):
+                # flush the pipeline so the checkpoint's curriculum CSVs and
+                # loss average include every step up to this one
+                process_pending()
+                drain_decodes()
                 checkpoint_id += 1
                 save_package(os.path.join(
                     args.save_folder,
@@ -487,6 +567,8 @@ def main(argv=None, observers=()) -> int:
                     # plot (reference LRPlotWindow, train.py:254-314, 414-421)
                     logger.log("lr_find", step=checkpoint_id, lr=old_lr,
                                loss=loss_meter.avg)
+        process_pending()
+        drain_decodes()
 
         epoch_time = time.perf_counter() - epoch_t0
         say(f"epoch {epoch + 1} done in {epoch_time:.1f}s "
@@ -519,6 +601,7 @@ def main(argv=None, observers=()) -> int:
 
     if profiling:
         jax.profiler.stop_trace()
+    decode_pool.shutdown(wait=True)
     save_package(os.path.join(args.save_folder, "deepspeech_final.ckpt"),
                  epoch=args.epochs - 1, iteration=0)
     logger.close()

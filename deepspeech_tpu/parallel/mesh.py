@@ -70,15 +70,88 @@ def param_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def _spec_for_leaf(mesh: Mesh, path: tuple, leaf) -> P:
+    """`param_spec` with shape guards: a spec only applies when the leaf has
+    enough dims and every sharded dim divides evenly over its mesh axis
+    (e.g. a 30-class head on model=4 falls back to replication instead of
+    erroring)."""
+    spec = param_spec(path, leaf)
+    shape = getattr(leaf, "shape", ())
+    if len(spec) > len(shape):
+        return P()
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if shape[dim] % mesh.shape[axis] != 0:
+            return P()
+    return spec
+
+
 def make_param_shardings(mesh: Mesh, params) -> dict:
     """Tree of NamedShardings following :func:`param_spec`."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params)
+        lambda path, leaf: NamedSharding(mesh, _spec_for_leaf(mesh, path, leaf)),
+        params)
+
+
+def make_state_shardings(mesh: Mesh, state):
+    """Shardings for a whole TrainState (params + batch_stats + opt_state).
+
+    Optimizer-state leaves (optax momentum/adam moments) mirror their
+    parameter's sharding because their tree paths embed the parameter path
+    (``opt_state[...].trace.rnn_0.cell.w_ih``), so :func:`param_spec`'s
+    name-based rules apply unchanged; everything unmatched (counts, BN
+    stats, step) replicates. This is what makes tensor-parallel training
+    actually save memory: the gate-dim shards of w_ih/w_hh AND their
+    momentum buffers both live only on their model-axis slice.
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_leaf(mesh, path, leaf)),
+        state)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh per :func:`make_state_shardings`."""
+    return jax.tree.map(jax.device_put, state, make_state_shardings(mesh, state))
 
 
 def shard_params(params, mesh: Mesh):
     shardings = make_param_shardings(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def equalize_batch_padding(batch: dict) -> dict:
+    """Multi-host: pad every non-batch dim of each local batch array to the
+    max across processes.
+
+    Rank-strided bins give different hosts different utterances, so the
+    static bucket pads (audio samples / spectrogram frames / target length)
+    can land on different bucket boundaries per host —
+    :func:`local_batch_to_global` then assembles shards of unequal shape and
+    the SPMD step deadlocks. One tiny host-side allgather of the dim sizes
+    per batch (microseconds next to a train/eval step) makes the shapes
+    agree; padding is zeros, which the length masks already ignore.
+    """
+    from jax.experimental import multihost_utils
+
+    keys = sorted(k for k, v in batch.items()
+                  if hasattr(v, "ndim") and v.ndim >= 2)
+    if not keys:
+        return batch
+    dims = np.concatenate([np.asarray(batch[k].shape[1:], np.int64)
+                           for k in keys])
+    gmax = np.asarray(multihost_utils.process_allgather(dims)).max(axis=0)
+    out = dict(batch)
+    i = 0
+    for k in keys:
+        v = np.asarray(batch[k])
+        want = tuple(gmax[i:i + v.ndim - 1])
+        i += v.ndim - 1
+        if tuple(v.shape[1:]) != want:
+            pad = [(0, 0)] + [(0, int(w) - s)
+                              for w, s in zip(want, v.shape[1:])]
+            out[k] = np.pad(v, pad)
+    return out
 
 
 def local_batch_to_global(local_arrays: dict, mesh: Mesh) -> dict:

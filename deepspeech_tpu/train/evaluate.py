@@ -38,9 +38,16 @@ def decode_batch_greedy(decoder, metrics: dict, batch: dict, labels):
 
 def evaluate(loader, eval_step, state, decoder, labels,
              dataset=None, update_curriculum: bool = False,
-             progress=None):
+             progress=None, all_reduce: bool = False):
     """Run the eval loop. Returns a summary dict with both averaging modes
-    (reference test.py:197-209) and the mean loss (train.py:400)."""
+    (reference test.py:197-209) and the mean loss (train.py:400).
+
+    ``all_reduce``: multi-host sharded evaluation — each process scores its
+    own disjoint manifest shard (DistributedBucketingSampler) and the raw
+    WER/CER/loss counters are summed across processes before the ratios are
+    taken, so every host reports the global summary. The reference instead
+    evaluated the full val set on every rank (its check_model_quality has no
+    distributed sampler, train.py:425-429) — world x duplicated compute."""
     loss_meter = AverageMeter()
     total_wer = total_cer = total_wer_ref = total_cer_ref = 0.0
     utt_wer = AverageMeter()
@@ -71,11 +78,26 @@ def evaluate(loader, eval_step, state, decoder, labels,
         if progress:
             progress(n_utts)
 
+    loss_sum, loss_count = loss_meter.sum, loss_meter.count
+    uw_sum, uc_sum = utt_wer.sum, utt_cer.sum
+    if all_reduce:
+        from jax.experimental import multihost_utils
+
+        counters = np.array([total_wer, total_cer, total_wer_ref,
+                             total_cer_ref, loss_sum, loss_count,
+                             uw_sum, uc_sum, n_utts], np.float64)
+        counters = np.asarray(
+            multihost_utils.process_allgather(counters),
+            np.float64).sum(axis=0)
+        (total_wer, total_cer, total_wer_ref, total_cer_ref, loss_sum,
+         loss_count, uw_sum, uc_sum, n_utts) = (float(c) for c in counters)
+        n_utts = int(n_utts)
+
     return {
-        "loss": loss_meter.avg,
+        "loss": loss_sum / max(loss_count, 1),
         "wer": 100.0 * total_wer / max(total_wer_ref, 1.0),
         "cer": 100.0 * total_cer / max(total_cer_ref, 1.0),
-        "utt_wer": 100.0 * utt_wer.avg,
-        "utt_cer": 100.0 * utt_cer.avg,
+        "utt_wer": 100.0 * uw_sum / max(n_utts, 1),
+        "utt_cer": 100.0 * uc_sum / max(n_utts, 1),
         "num_utterances": n_utts,
     }

@@ -59,6 +59,32 @@ def trained(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_train_cli_tensor_parallel(trained, tmp_path):
+    """DP x TP from the CLI: --mesh-model 2 on the 8-device mesh trains end
+    to end (data=4 x model=2) and produces a checkpoint the eval CLI can
+    consume (the BASELINE north-star capability: shard the RNN stack over
+    the model axis; beyond reference train.py:948-951 which is DP-only)."""
+    _, manifest, _ = trained
+    save = tmp_path / "tp_ckpt"
+    r = _run("train.py", [
+        "--train-manifest", manifest, "--val-manifest", manifest,
+        "--batch-size", "4", "--hidden-size", "16", "--hidden-layers", "2",
+        "--num-workers", "0", "--epochs", "1", "--mesh-model", "2",
+        "--save-folder", str(save), "--id", "cli-tp",
+        "--log-dir", str(save / "logs")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mesh: data=4 x model=2" in r.stdout
+    ckpt = save / "deepspeech_final.ckpt"
+    assert ckpt.exists()
+    r = _run("test.py", [
+        "--continue-from", str(ckpt), "--test-manifest", manifest,
+        "--batch-size", "3", "--num-workers", "0",
+        "--report-file", str(tmp_path / "tp.csv")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
 def test_eval_cli_greedy(trained, tmp_path):
     ckpt, manifest, _ = trained
     report = tmp_path / "report.csv"

@@ -47,6 +47,75 @@ def tiny_manifest(tmp_path):
     return str(m)
 
 
+@pytest.fixture()
+def varied_manifest(tmp_path):
+    """8 utterances with durations spanning several 1-s bucket boundaries so
+    rank-strided bins land on DIFFERENT static pad shapes — exercising
+    equalize_batch_padding."""
+    rng = np.random.default_rng(1)
+    rows = []
+    texts = ["AB", "BA", "AAB", "ABB", "A B", "B A", "BB", "AA"]
+    for i, txt in enumerate(texts):
+        sr = 16000
+        dur = 0.3 + 0.3 * i  # 0.3 .. 2.4 s
+        t = np.arange(int(sr * dur)) / sr
+        y = 0.2 * np.sin(2 * np.pi * (300 + 120 * i) * t)
+        y = (y + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        wav, tx = tmp_path / f"v{i}.wav", tmp_path / f"v{i}.txt"
+        wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+        tx.write_text(txt)
+        rows.append(f"{wav},{tx},{dur:.2f}")
+    m = tmp_path / "varied_manifest.csv"
+    m.write_text("\n".join(rows) + "\n")
+    return str(m)
+
+
+@pytest.mark.slow
+def test_sharded_validation_matches_single_host(varied_manifest, tmp_path):
+    """Each rank evaluates a DISJOINT shard (no world-x duplicated compute,
+    unlike reference train.py:425-429), the reduced summary is identical on
+    every rank, and it matches the single-process full-set evaluation."""
+    driver = os.path.join(REPO, "tests", "eval_shard_driver.py")
+
+    def run(rank, world, port):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        return subprocess.Popen(
+            [sys.executable, driver, varied_manifest, str(rank), str(world),
+             str(port)], env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    # single-process reference
+    p = run(0, 1, 0)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-3000:]
+    single = json.loads([ln for ln in out.splitlines()
+                         if ln.startswith("RESULT ")][-1][len("RESULT "):])
+
+    port = _free_port()
+    procs = [run(r, 2, port) for r in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}:\n{o[-3000:]}"
+    results = [json.loads([ln for ln in o.splitlines()
+                           if ln.startswith("RESULT ")][-1][len("RESULT "):])
+               for o in outs]
+
+    # disjoint shards covering the full set
+    paths0, paths1 = set(results[0]["paths"]), set(results[1]["paths"])
+    assert not paths0 & paths1, "ranks evaluated overlapping utterances"
+    assert paths0 | paths1 == set(single["paths"])
+
+    # both ranks report the identical reduced summary == single-host summary
+    for key in ("wer", "cer", "utt_wer", "utt_cer", "num_utterances"):
+        assert results[0]["summary"][key] == pytest.approx(
+            results[1]["summary"][key]), key
+        assert results[0]["summary"][key] == pytest.approx(
+            single["summary"][key], rel=1e-4, abs=1e-6), key
+    assert results[0]["summary"]["loss"] == pytest.approx(
+        single["summary"]["loss"], rel=1e-3)
+
+
 @pytest.mark.slow
 def test_two_process_data_parallel_train(tiny_manifest, tmp_path):
     port = _free_port()

@@ -85,14 +85,13 @@ def test_epoch_boundary_resume_and_history(tiny_manifest, tmp_path):
     """Resuming from an epoch-boundary checkpoint must NOT re-run the
     completed epoch, and the metric history embedded in the package
     (reference model.py:426-468) must keep growing across the resume."""
-    import pickle
+    from deepspeech_tpu.train import checkpoint as ckpt
 
     save = str(tmp_path / "ckpt")
     r = _run_train(tiny_manifest, save, ["--epochs", "1"])
     assert r.returncode == 0, r.stderr[-2000:]
     final = os.path.join(save, "deepspeech_final.ckpt")
-    with open(final, "rb") as f:
-        pkg = pickle.load(f)
+    pkg = ckpt.load(final)
     assert len(pkg["loss_results"]) == 1
 
     r2 = _run_train(tiny_manifest, save,
@@ -101,7 +100,61 @@ def test_epoch_boundary_resume_and_history(tiny_manifest, tmp_path):
     out = r2.stdout + r2.stderr
     assert "epoch 1 " not in out, "re-ran the completed epoch"
     assert "epoch 2 " in out
-    with open(final, "rb") as f:
-        pkg = pickle.load(f)
+    pkg = ckpt.load(final)
     assert len(pkg["loss_results"]) == 2
     assert len(pkg["wer_results"]) == 2
+
+
+def test_checkpoint_format_safe_and_pickle_rejected(tmp_path):
+    """The checkpoint container must load without pickle (no code execution;
+    np.load-compatible zip), round-trip a TrainState exactly, and REFUSE
+    legacy pickle files unless explicitly allowed."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.train import TrainState, build_optimizer
+    from deepspeech_tpu.train import checkpoint as ckpt
+
+    model = DeepSpeech2(num_classes=5, hidden_size=8, hidden_layers=1,
+                        cell="gru", bidirectional=True)
+    tx = build_optimizer("sgd", lr=1e-3, momentum=0.9, max_norm=10.0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 161, 51)),
+                           jnp.asarray([51]), False)
+    state = TrainState.create(variables, tx)
+
+    pkg = ckpt.serialize({"rnn_type": "gru", "hidden_size": 8}, state,
+                         "_AB ", AudioConf().to_dict(), epoch=2, iteration=7,
+                         checkpoint=3, avg_loss=1.5,
+                         history={"loss_results": [2.0, 1.5]})
+    path = str(tmp_path / "m.ckpt")
+    ckpt.save(path, pkg)
+
+    # the file is a plain zip readable by np.load with allow_pickle=False
+    loaded_np = np.load(path, allow_pickle=False)
+    assert "a0" in loaded_np.files
+    np.asarray(loaded_np["a0"])  # array entries decode without pickle
+
+    loaded = ckpt.load(path)
+    assert loaded["epoch"] == 3 and loaded["iteration"] == 7
+    assert loaded["labels"] == "_AB "
+    assert loaded["loss_results"] == [2.0, 1.5]
+
+    state2 = ckpt.restore_state(loaded, TrainState.create(variables, tx))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # legacy pickle: rejected by default, readable on explicit opt-in
+    legacy = str(tmp_path / "legacy.ckpt")
+    with open(legacy, "wb") as f:
+        pickle.dump({"labels": "_AB "}, f)
+    with pytest.raises(ValueError, match="pickle"):
+        ckpt.load(legacy)
+    assert ckpt.load(legacy, allow_pickle=True)["labels"] == "_AB "
