@@ -251,10 +251,12 @@ def featurize_batch(audio: jnp.ndarray, audio_lengths: jnp.ndarray,
     the magnitude before normalization — the reference's order
     (data_loader_aug.py:241-248 inside audio_to_stft, before normalize_audio).
 
-    Note: reflect padding at the utterance end uses the batch-padded edge
-    rather than each utterance's own edge; the affected frames are the final
-    <=1 frame of each utterance, whose window taper makes the difference
-    negligible (and padded rows are masked). Host parity path remains exact.
+    Note: the centered STFT's final frame reads n_fft//2 samples past each
+    utterance's end. Batches built by ``data.loader.collate_batch`` pre-write
+    each utterance's own reflect tail into its pad region
+    (``BucketSpec.reflect_tail``), making device == host on EVERY frame; for
+    raw zero-padded inputs the final frame reflects into zeros instead (a
+    <=1-frame approximation, bounded in tests/test_golden_parity.py).
     """
     window = make_window(conf.window, conf.n_fft)
     mag = stft_magnitude(audio, conf.n_fft, conf.hop, window,

@@ -187,17 +187,44 @@ class OneOrOther:
 
 
 def build_waveform_pipeline(aug_prob: float, noise_samples=(),
-                            sample_rate: int = 16000):
-    """The reference's default ``aug_type==0`` pipeline: prob-weighted OneOf
-    over all five transforms (reference data_loader_aug.py:361-418)."""
+                            sample_rate: int = 16000, aug_type: int = 0):
+    """The reference's four ``aug_type`` pipelines, prob-weighted OneOf
+    (reference data_loader_aug.py:361-418):
+
+    0 — all five transforms (the only value the reference can reach: its
+        ``aug_type`` is hardcoded 0 at data_loader_aug.py:355);
+    1 — spatial shift only (limit 2 s there, vs 0.5 s inside type 0);
+    2 — tone-affecting effects (speed + pitch);
+    3 — additive noise + clip distortion (noise limit 0.05, vs 0.2 in 0).
+    """
     if aug_prob <= 0:
         return None
-    return OneOf([
-        AddNoise(limit=0.2, prob=aug_prob, noise_samples=noise_samples),
-        ChangeAudioSpeed(limit=0.15, prob=aug_prob, sr=sample_rate,
-                         max_duration=MAX_DURATION_AUG),
-        AudioDistort(limit=0.05, prob=aug_prob),
-        Shift(limit=sample_rate * 0.5, prob=aug_prob, sr=sample_rate,
-              max_duration=MAX_DURATION_AUG),
-        PitchShift(limit=2, prob=aug_prob),
-    ], prob=aug_prob)
+    if aug_type == 0:
+        aug_list = [
+            AddNoise(limit=0.2, prob=aug_prob, noise_samples=noise_samples),
+            ChangeAudioSpeed(limit=0.15, prob=aug_prob, sr=sample_rate,
+                             max_duration=MAX_DURATION_AUG),
+            AudioDistort(limit=0.05, prob=aug_prob),
+            Shift(limit=sample_rate * 0.5, prob=aug_prob, sr=sample_rate,
+                  max_duration=MAX_DURATION_AUG),
+            PitchShift(limit=2, prob=aug_prob),
+        ]
+    elif aug_type == 1:
+        aug_list = [
+            Shift(limit=sample_rate * 2, prob=aug_prob, sr=sample_rate,
+                  max_duration=MAX_DURATION_AUG),
+        ]
+    elif aug_type == 2:
+        aug_list = [
+            ChangeAudioSpeed(limit=0.15, prob=aug_prob, sr=sample_rate,
+                             max_duration=MAX_DURATION_AUG),
+            PitchShift(limit=2, prob=aug_prob),
+        ]
+    elif aug_type == 3:
+        aug_list = [
+            AddNoise(limit=0.05, prob=aug_prob, noise_samples=noise_samples),
+            AudioDistort(limit=0.05, prob=aug_prob),
+        ]
+    else:
+        raise ValueError(f"unknown aug_type {aug_type} (expected 0-3)")
+    return OneOf(aug_list, prob=aug_prob)

@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-min", default=0.0, type=float)
     p.add_argument("--noise-max", default=0.5, type=float)
     p.add_argument("--aug-prob-8khz", default=0, type=float)
+    p.add_argument("--aug-type", default=0, type=int, choices=[0, 1, 2, 3],
+                   help="waveform aug pipeline: 0=all five transforms, "
+                        "1=shift only, 2=speed+pitch, 3=noise+distort "
+                        "(reference data_loader_aug.py:367-412; hardcoded 0 "
+                        "there)")
     p.add_argument("--aug-prob-spect", default=0, type=float)
     # sampling
     p.add_argument("--no-shuffle", action="store_true")
@@ -122,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "data_axis x mesh_model")
     p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
                    help="audio padding granularity (static XLA shapes)")
+    p.add_argument("--wire-dtype", default="int16",
+                   choices=["int16", "float32"],
+                   help="host->device waveform wire format; int16 halves "
+                        "transfer bytes (source wavs are int16 PCM; "
+                        "quantization is ~90 dB below signal)")
     p.add_argument("--max-items", default=0, type=int,
                    help="truncate manifests (debug)")
     # multi-host (reference --dist-url/--rank/--world-size, train.py:97-103;
@@ -262,7 +272,8 @@ def main(argv=None, observers=()) -> int:
     train_dataset = AudioDataset(
         audio_conf, args.train_manifest, labels, normalize=args.norm,
         augment=args.augment, max_items=max_items,
-        curriculum_filepath=args.curriculum or None, seed=args.seed)
+        curriculum_filepath=args.curriculum or None, seed=args.seed,
+        aug_type=args.aug_type)
     val_dataset = AudioDataset(test_conf, args.val_manifest, labels,
                                normalize=args.norm, max_items=max_items)
     trainval_dataset = None
@@ -272,7 +283,9 @@ def main(argv=None, observers=()) -> int:
                                         max_items=max_items)
 
     bucket = BucketSpec(audio_step=int(audio_conf.sample_rate
-                                       * args.bucket_audio_seconds))
+                                       * args.bucket_audio_seconds),
+                        reflect_tail=audio_conf.n_fft // 2,
+                        wire_dtype=args.wire_dtype)
 
     # Collate pads the batch dimension with valid=0 rows; round it up to a
     # multiple of the local data-axis extent so DP batch sharding always
@@ -521,10 +534,10 @@ def main(argv=None, observers=()) -> int:
                     f"wer {100 * last_wer[0]:.1f} "
                     f"batch {watch.batch_time.avg:.2f}s "
                     f"data {watch.data_time.avg:.2f}s "
-                    f"lr {get_lr(jax.device_get(state.opt_state)):.2e}")
+                    f"lr {get_lr(state.opt_state):.2e}")
                 logger.log("train", step=epoch * len(loader) + pit,
                            loss=loss, avg_loss=loss_meter.avg,
-                           lr=get_lr(jax.device_get(state.opt_state)),
+                           lr=get_lr(state.opt_state),
                            skipped=bool(m["step_skipped"]))
             if args.log_params and pit % 100 == 0 and is_leader:
                 logger.log_params(jax.device_get(state.params),
@@ -538,6 +551,14 @@ def main(argv=None, observers=()) -> int:
             obs.emit("on_batch_start", epoch, it)
             rng, step_key = jax.random.split(rng)
             state, m = train_step(state, to_device(batch), step_key)
+            if world == 1:
+                # start the device->host copies now; by the time
+                # process_pending() reads them (after the NEXT dispatch) the
+                # transfers have ridden alongside compute — one overlapped
+                # round trip instead of one blocking trip per metric
+                for v in m.values():
+                    if hasattr(v, "copy_to_host_async"):
+                        v.copy_to_host_async()
             process_pending()  # overlap: account step N-1 while N runs
             pending = (m, batch, paths, it)
             n_valid = int(np.asarray(batch["valid"]).sum())
@@ -558,10 +579,12 @@ def main(argv=None, observers=()) -> int:
                 run_validation(epoch, tag="val_checkpoint")
                 samples_since_ckpt = 0
                 if args.checkpoint_anneal != 1.0:
-                    opt = jax.device_get(state.opt_state)
-                    old_lr = get_lr(opt)
+                    # set_lr swaps only the injected-hyperparams scalar; the
+                    # rest of the optimizer state stays on device untouched
+                    old_lr = get_lr(state.opt_state)
                     new_lr = old_lr / args.checkpoint_anneal
-                    state = state.replace(opt_state=set_lr(opt, new_lr))
+                    state = state.replace(
+                        opt_state=set_lr(state.opt_state, new_lr))
                     say(f"  checkpoint anneal -> lr {new_lr:.2e}")
                     # LR-finder stream: (lr, loss) points for a loss-vs-LR
                     # plot (reference LRPlotWindow, train.py:254-314, 414-421)
@@ -587,10 +610,10 @@ def main(argv=None, observers=()) -> int:
             save_package(os.path.join(args.save_folder,
                                       f"deepspeech_epoch_{epoch + 1:03d}.ckpt"),
                          epoch=epoch, iteration=0, avg_loss=loss_meter.avg)
-        # anneal LR per epoch (reference train.py:746-767)
-        opt = jax.device_get(state.opt_state)
-        new_lr = get_lr(opt) / args.learning_anneal
-        state = state.replace(opt_state=set_lr(opt, new_lr))
+        # anneal LR per epoch (reference train.py:746-767); scalar-only
+        # update, no host round-trip of the optimizer state
+        new_lr = get_lr(state.opt_state) / args.learning_anneal
+        state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
         say(f"  learning rate annealed -> {new_lr:.2e}")
         # best model by WER+CER (reference train.py:769-787)
         quality = summary["wer"] + summary["cer"]

@@ -35,6 +35,8 @@ class AudioDataset:
     :param labels: alphabet string or Labels.
     :param normalize: normalization mode (only used when emit="spect").
     :param augment: enable waveform augs (prob from audio_conf.noise_prob).
+    :param aug_type: pipeline variant 0-3 (reference data_loader_aug.py:
+        367-412; the reference hardcodes 0 at :355, here it is selectable).
     :param emit: "audio" (device featurize; default) or "spect" (host parity).
     :param curriculum_filepath: optional CSV to preload CER history.
     """
@@ -43,7 +45,8 @@ class AudioDataset:
                  normalize: str = "max_frame", augment: bool = False,
                  max_items: int | None = None,
                  curriculum_filepath: str | None = None,
-                 emit: str = "audio", seed: int = 123456):
+                 emit: str = "audio", seed: int = 123456,
+                 aug_type: int = 0):
         self.conf = (audio_conf if isinstance(audio_conf, AudioConf)
                      else AudioConf.from_dict(audio_conf))
         self.labels = labels if isinstance(labels, Labels) else Labels(labels)
@@ -63,7 +66,8 @@ class AudioDataset:
             noise_samples = sorted(glob.glob(self.conf.noise_dir))
         self.augs = (build_waveform_pipeline(self.conf.noise_prob,
                                              noise_samples,
-                                             self.conf.sample_rate)
+                                             self.conf.sample_rate,
+                                             aug_type=aug_type)
                      if augment else None)
         # host-side SpecAugment for emit="spect" parity
         # (reference data_loader_aug.py:424-433)

@@ -183,10 +183,19 @@ class BeamCTCDecoder(Decoder):
         self.num_processes = max(1, num_processes)
 
         from deepspeech_tpu.decoders import beam_native
+        from deepspeech_tpu.decoders.lm_binary import is_dslm
+        dslm = bool(lm_path) and is_dslm(lm_path)
         if backend == "auto":
-            backend = "native" if beam_native.available() else "python"
+            # the C++ scorer parses textual ARPA; DSLM binary LMs (mmap
+            # store, decoders/lm_binary.py) score through the python search
+            backend = ("native" if beam_native.available() and not dslm
+                       else "python")
         elif backend == "native" and not beam_native.available():
             raise RuntimeError("native beam decoder unavailable (no toolchain)")
+        elif backend == "native" and dslm:
+            raise RuntimeError("the native beam backend scores textual ARPA "
+                               "only; use backend='auto'/'python' for DSLM "
+                               "binary LMs")
         self.backend = backend
         if backend == "native":
             self._search = beam_native.ctc_beam_search_native

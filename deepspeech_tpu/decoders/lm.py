@@ -40,26 +40,23 @@ class ArpaLM:
                 self.ngrams[words] = (logp, backoff)
 
     def score_word(self, context: tuple, word: str) -> float:
-        """log10 P(word | context) with backoff; unknown words get the <unk>
-        score or a -inf-ish floor."""
+        """log10 P(word | context) with Katz backoff; unknown words get the
+        <unk> score or a -inf-ish floor. Backoff weights ACCUMULATE across
+        successive context shortenings (standard ARPA/KenLM semantics:
+        p(w|c) = backoff(c) + p(w|c[1:]) applied recursively)."""
         context = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        penalty = 0.0
         while True:
-            entry = self.ngrams.get(context + (word,))
-            if entry is not None:
-                return entry[0]
-            if not context:
-                unk = self.ngrams.get(("<unk>",))
-                return unk[0] if unk is not None else -10.0
-            # back off: add the context's backoff weight, shorten context
-            bo = self.ngrams.get(context)
-            penalty = bo[1] if bo is not None else 0.0
-            context = context[1:]
             entry = self.ngrams.get(context + (word,))
             if entry is not None:
                 return penalty + entry[0]
             if not context:
                 unk = self.ngrams.get(("<unk>",))
                 return penalty + (unk[0] if unk is not None else -10.0)
+            # back off: add the context's backoff weight, shorten context
+            bo = self.ngrams.get(context)
+            penalty += bo[1] if bo is not None else 0.0
+            context = context[1:]
 
     def score_sentence(self, words, bos: bool = True) -> float:
         context = ("<s>",) if bos else ()
@@ -71,7 +68,15 @@ class ArpaLM:
 
 
 def load_lm(path: str | None):
-    return ArpaLM(path) if path else None
+    """Textual ARPA(.gz) -> in-memory ArpaLM; DSLM binary (from
+    decoders/lm_binary.py convert_arpa) -> mmap-backed BinaryLM with O(vocab)
+    resident memory — the KenLM-binary role (reference decoder.py:95-99)."""
+    if not path:
+        return None
+    from deepspeech_tpu.decoders.lm_binary import BinaryLM, is_dslm
+    if is_dslm(path):
+        return BinaryLM(path)
+    return ArpaLM(path)
 
 
 LOG10 = math.log(10.0)

@@ -106,7 +106,9 @@ def save(path: str, package: dict):
         zf.writestr(_META_ENTRY, json.dumps(struct))
         for i, a in enumerate(arrays):
             buf = io.BytesIO()
-            np.lib.format.write_array(buf, np.ascontiguousarray(a),
+            # NOT ascontiguousarray: it promotes 0-d arrays to 1-d, which
+            # would corrupt scalar leaves (optimizer count, learning rate)
+            np.lib.format.write_array(buf, np.asarray(a, order="C"),
                                       allow_pickle=False)
             zf.writestr(f"a{i}.npy", buf.getvalue())
     os.replace(tmp, path)
@@ -161,13 +163,19 @@ def restore_state(package: dict, state):
 
     def like(template, stored):
         t_def = jax.tree_util.tree_structure(template)
+        t_leaves = jax.tree_util.tree_leaves(template)
         leaves = jax.tree_util.tree_leaves(stored)
-        t_leaves = t_def.num_leaves
-        assert len(leaves) == t_leaves, (
+        assert len(leaves) == len(t_leaves), (
             f"checkpoint/optimizer mismatch: {len(leaves)} stored leaves vs "
-            f"{t_leaves} expected")
-        return jax.tree_util.tree_unflatten(
-            t_def, [jnp.asarray(s) for s in leaves])
+            f"{len(t_leaves)} expected")
+        out = []
+        for t, s in zip(t_leaves, leaves):
+            s = jnp.asarray(s)
+            ts = getattr(t, "shape", None)
+            assert ts is None or s.shape == ts, (
+                f"checkpoint leaf shape {s.shape} != expected {ts}")
+            out.append(s)
+        return jax.tree_util.tree_unflatten(t_def, out)
 
     return state.replace(
         params=like(state.params, package["params"]),

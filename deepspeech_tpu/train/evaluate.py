@@ -54,9 +54,8 @@ def evaluate(loader, eval_step, state, decoder, labels,
     utt_cer = AverageMeter()
     n_utts = 0
 
-    for batch in loader:
-        paths = batch.pop("paths", None)
-        metrics = eval_step(state, batch)
+    def account(metrics, batch, paths):
+        nonlocal total_wer, total_cer, total_wer_ref, total_cer_ref, n_utts
         n_valid = int(np.asarray(batch.get(
             "valid", np.ones(len(batch["targets"])))).sum())
         loss = float(metrics["loss"])
@@ -77,6 +76,25 @@ def evaluate(loader, eval_step, state, decoder, labels,
                                           None, c / cr, w / wr)
         if progress:
             progress(n_utts)
+
+    # double-buffered like the train loop: batch N's host decode overlaps
+    # batch N+1's device step (the readback inside account() waits on a
+    # step that is already complete)
+    pending = None
+    for batch in loader:
+        paths = batch.pop("paths", None)
+        metrics = eval_step(state, batch)
+        for v in metrics.values():
+            if hasattr(v, "copy_to_host_async"):
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass  # multi-host shards fetch via metrics_to_local
+        if pending is not None:
+            account(*pending)
+        pending = (metrics, batch, paths)
+    if pending is not None:
+        account(*pending)
 
     loss_sum, loss_count = loss_meter.sum, loss_meter.count
     uw_sum, uc_sum = utt_wer.sum, utt_cer.sum

@@ -68,7 +68,12 @@ def _featurize(batch, cfg: StepConfig, rng, train: bool):
             if cfg.max_frame_jitter:
                 jitter = jax.random.uniform(
                     k_jit, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
-        return featurize_batch(batch["audio"], batch["audio_lengths"],
+        audio = batch["audio"]
+        if "audio_scale" in batch:
+            # int16 wire format (data/loader.py BucketSpec.wire_dtype):
+            # descale on device — halves the host->device bytes
+            audio = audio.astype(jnp.float32) * batch["audio_scale"][:, None]
+        return featurize_batch(audio, batch["audio_lengths"],
                                cfg.audio_conf, cfg.normalize,
                                method=cfg.stft_method, jitter=jitter,
                                aug_key=aug_key)

@@ -172,3 +172,50 @@ class TestDeviceSpecAugment:
         out = f(jnp.ones((2, 161, 30)), jnp.asarray([30, 25]),
                 jax.random.PRNGKey(3))
         assert out.shape == (2, 161, 30)
+
+
+class TestAugTypePipelines:
+    """Reference aug_type 0-3 pipeline variants (data_loader_aug.py:367-412;
+    the reference hardcodes 0 at :355 — here each is selectable)."""
+
+    def _members(self, aug_type, noise=()):
+        from deepspeech_tpu.augment.waveform import build_waveform_pipeline
+        pipe = build_waveform_pipeline(0.9, noise_samples=noise,
+                                       sample_rate=16000, aug_type=aug_type)
+        return pipe, [type(t).__name__ for t in pipe.transforms]
+
+    def test_type0_all_five(self):
+        _, names = self._members(0)
+        assert names == ["AddNoise", "ChangeAudioSpeed", "AudioDistort",
+                         "Shift", "PitchShift"]
+
+    def test_type1_shift_only_wider_limit(self):
+        pipe, names = self._members(1)
+        assert names == ["Shift"]
+        # type-1 shift limit is 2 s (vs 0.5 s inside type 0)
+        assert pipe.transforms[0].limit == 16000 * 2
+
+    def test_type2_tone_effects(self):
+        _, names = self._members(2)
+        assert names == ["ChangeAudioSpeed", "PitchShift"]
+
+    def test_type3_noise_and_distort_low_limit(self):
+        pipe, names = self._members(3)
+        assert names == ["AddNoise", "AudioDistort"]
+        assert pipe.transforms[0].limit == 0.05  # vs 0.2 in type 0
+
+    def test_unknown_type_raises(self):
+        from deepspeech_tpu.augment.waveform import build_waveform_pipeline
+        with pytest.raises(ValueError):
+            build_waveform_pipeline(0.5, aug_type=7)
+
+    @pytest.mark.parametrize("aug_type", [0, 1, 2, 3])
+    def test_pipelines_run(self, aug_type):
+        from deepspeech_tpu.augment.waveform import build_waveform_pipeline
+        pipe = build_waveform_pipeline(1.0, aug_type=aug_type)
+        rng = np.random.default_rng(0)
+        wav = (0.1 * np.sin(2 * np.pi * 440 *
+                            np.arange(8000) / 16000)).astype(np.float32)
+        out, sr = pipe(wav, 16000, rng)
+        assert sr == 16000
+        assert out.dtype == np.float32 and out.ndim == 1 and len(out) > 0

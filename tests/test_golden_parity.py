@@ -1,0 +1,299 @@
+"""Golden parity against the ACTUAL reference code (run in-test under torch).
+
+VERDICT item 3 / BASELINE quality north star ("match WER bit-for-bit on
+greedy"): rather than re-deriving the reference's math in numpy, this module
+imports ``/root/reference/data/data_loader_aug.py`` itself and drives its
+``SpectrogramParser`` on speech-like fixture audio, asserting
+
+(a) our host front-end produces numerically identical spectrograms for every
+    normalization mode (reference data_loader_aug.py:163-215, 274-313);
+(b) the on-device batched featurizer matches the host path everywhere, with
+    the documented <=1-frame padded-edge caveat bounded explicitly
+    (audio/features.py:253-257);
+(c) a reference-format torch checkpoint imported via cli/import_torch
+    produces IDENTICAL greedy transcripts through our eval pipeline as the
+    torch model does through the reference forward math, on the same audio.
+
+The reference era's removed/unavailable deps are shimmed faithfully:
+librosa.stft (center=True, pad_mode='reflect', callable window — the
+behavior of librosa 0.6/0.7 that the fork ran against),
+scipy.signal.hamming & co (removed in scipy>=1.13; aliased to
+scipy.signal.windows), torchaudio/cv2/num2word (imported but unused on the
+exercised paths).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import scipy.ndimage
+import scipy.signal
+from scipy.io import wavfile
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference checkout not available")
+
+
+# ---------------------------------------------------------------------------
+# era-faithful shims + reference import
+# ---------------------------------------------------------------------------
+
+def _librosa_stft(y, n_fft=2048, hop_length=None, win_length=None,
+                  window="hann", center=True, pad_mode="reflect", **kw):
+    """librosa.stft as of the 0.6/0.7 era: symmetric callable window,
+    centered reflect padding, complex rfft frames, (1+n_fft//2, T)."""
+    win_length = win_length or n_fft
+    hop_length = hop_length or win_length // 4
+    if callable(window):
+        win = np.asarray(window(win_length), dtype=np.float64)
+    else:
+        win = scipy.signal.get_window(window, win_length, fftbins=True)
+    if len(win) < n_fft:  # center-pad window to n_fft
+        lpad = (n_fft - len(win)) // 2
+        win = np.pad(win, (lpad, n_fft - len(win) - lpad))
+    if center:
+        y = np.pad(y, n_fft // 2, mode=pad_mode)
+    t = 1 + (len(y) - n_fft) // hop_length
+    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(t)[:, None]
+    frames = y[idx] * win[None, :]
+    return np.fft.rfft(frames, n=n_fft, axis=-1).T
+
+
+@pytest.fixture(scope="module")
+def ref_dl():
+    # scipy window functions removed in scipy>=1.13
+    for name in ("hamming", "hann", "blackman", "bartlett"):
+        if not hasattr(scipy.signal, name):
+            setattr(scipy.signal, name, getattr(scipy.signal.windows, name))
+    # scipy.ndimage.filters namespace removed in scipy>=1.15
+    if not hasattr(scipy.ndimage, "filters"):
+        filters = types.ModuleType("scipy.ndimage.filters")
+        filters.gaussian_filter1d = scipy.ndimage.gaussian_filter1d
+        scipy.ndimage.filters = filters
+
+    librosa = types.ModuleType("librosa")
+    librosa.stft = _librosa_stft
+    librosa.resample = lambda y, orig_sr, target_sr, **kw: y
+    librosa.effects = types.SimpleNamespace(time_stretch=None,
+                                            pitch_shift=None)
+    sys.modules.setdefault("librosa", librosa)
+
+    torchaudio = types.ModuleType("torchaudio")
+    torchaudio.load = torchaudio.save = None
+    sys.modules.setdefault("torchaudio", torchaudio)
+
+    cv2 = types.ModuleType("cv2")
+    cv2.setNumThreads = lambda n: None
+    sys.modules.setdefault("cv2", cv2)
+
+    num2word = types.ModuleType("data.num2word")
+    num2word.num2words = lambda n, **kw: str(n)
+    sys.modules.setdefault("data.num2word", num2word)
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import importlib
+
+    # reference defect: data_loader_aug.py:45 imports load_audio from
+    # data/audio_loader.py which only defines load_audio_norm; the symbol is
+    # used solely on a dead branch (parse_audio's "never use this for now"
+    # else at :195), so alias it to let the module import.
+    audio_loader = importlib.import_module("data.audio_loader")
+    if not hasattr(audio_loader, "load_audio"):
+        audio_loader.load_audio = audio_loader.load_audio_norm
+
+    return importlib.import_module("data.data_loader_aug")
+
+
+def _make_ref_parser(ref_dl, normalize, augment=False):
+    audio_conf = dict(sample_rate=16000, window_size=0.02,
+                      window_stride=0.01, window="hamming")
+    parser = ref_dl.SpectrogramParser(audio_conf, cache_path=None,
+                                      normalize=normalize, augment=augment)
+    # dataset-level attributes parse_audio reads (SpectrogramDataset sets
+    # these; the bare parser path is what transcribe.py uses)
+    parser.aug_prob = 0
+    parser.augs = None
+    parser.aug_prob_spect = 0
+    parser.aug_prob_8khz = 0
+    return parser
+
+
+# ---------------------------------------------------------------------------
+# speech-like fixtures: glottal pulse train + formant resonators + noise
+# ---------------------------------------------------------------------------
+
+def _synth_speech(rng, seconds, sr=16000):
+    n = int(seconds * sr)
+    f0 = float(rng.uniform(90, 190))
+    sig = np.zeros(n)
+    t = 0
+    while t < n:
+        jitter = 1.0 + 0.08 * np.sin(2 * np.pi * 2.5 * t / sr)
+        sig[t] = 1.0
+        t += max(int(sr / (f0 * jitter)), 40)
+    formants = rng.permutation([(730, 90), (1090, 110), (2440, 170)])
+    voiced = sig.copy()
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / sr)
+        w = 2 * np.pi * fc / sr
+        voiced = scipy.signal.lfilter([1.0], [1.0, -2 * r * np.cos(w), r * r],
+                                      voiced)
+    # unvoiced burst (fricative-ish) in the middle + breath noise
+    noise = rng.standard_normal(n) * 0.004
+    burst = slice(n // 2, n // 2 + n // 10)
+    noise[burst] += rng.standard_normal(burst.stop - burst.start) * 0.05
+    # syllabic amplitude envelope with a pause
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 3.1 * np.arange(n) / sr) ** 2
+    env[int(0.45 * n): int(0.55 * n)] *= 0.05
+    y = (voiced * env + noise).astype(np.float32)
+    return (0.6 * y / np.abs(y).max()).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def speech_wavs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("golden")
+    rng = np.random.default_rng(42)
+    paths = []
+    for i, seconds in enumerate((1.1, 1.7, 2.3)):
+        y = _synth_speech(rng, seconds)
+        p = tmp / f"speech{i}.wav"
+        wavfile.write(p, 16000, (y * 32767).astype(np.int16))
+        paths.append(str(p))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# (a) host front-end == reference front-end, every normalization mode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm", ["max_frame", "mean", "norm", "frame",
+                                  "none"])
+def test_host_front_end_matches_reference(ref_dl, speech_wavs, norm):
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.audio.features import parse_audio_np
+    from deepspeech_tpu.audio.io import load_audio_norm
+
+    parser = _make_ref_parser(ref_dl, normalize=norm)
+    conf = AudioConf()
+    for wav in speech_wavs:
+        ref_spect = parser.parse_audio(wav).numpy()
+        y, sr = load_audio_norm(wav)
+        assert sr == 16000
+        ours = parse_audio_np(y, conf, normalize=norm)
+        assert ours.shape == ref_spect.shape
+        # float32 pipeline vs the shim's float64 rfft: agreement at f32
+        # rounding scale
+        np.testing.assert_allclose(ours, ref_spect, rtol=2e-3, atol=1e-3)
+
+
+def test_max_frame_jitter_matches_reference_semantics(ref_dl, speech_wavs):
+    """augment=True + max_frame adds a single uniform(-0.5,0.5) scalar to the
+    whole spectrogram (reference data_loader_aug.py:213-214); everything else
+    is unchanged — assert the residual is one constant."""
+    parser = _make_ref_parser(ref_dl, normalize="max_frame", augment=True)
+    base = _make_ref_parser(ref_dl, normalize="max_frame")
+    wav = speech_wavs[0]
+    jittered = parser.parse_audio(wav).numpy()
+    plain = base.parse_audio(wav).numpy()
+    diff = jittered - plain
+    assert np.allclose(diff, diff.flat[0], atol=1e-6)
+    assert -0.5 <= float(diff.flat[0]) <= 0.5
+
+
+# ---------------------------------------------------------------------------
+# (b) device featurizer == host featurizer on speech, edge bound explicit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm", ["max_frame", "mean"])
+def test_device_featurize_matches_host_on_speech(speech_wavs, norm):
+    """The production batch path (collate_batch pre-writes each utterance's
+    reflect tail into its pad region) makes the device featurizer match the
+    host/reference front-end on EVERY frame — no edge caveat left."""
+    import jax.numpy as jnp
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.audio.features import featurize_batch, parse_audio_np
+    from deepspeech_tpu.audio.io import load_audio_norm
+    from deepspeech_tpu.data.loader import BucketSpec, collate_batch
+
+    conf = AudioConf()
+    ys = [load_audio_norm(w)[0] for w in speech_wavs]
+    samples = [{"audio": y, "target": np.array([1, 2], np.int32), "path": p}
+               for y, p in zip(ys, speech_wavs)]
+    batch = collate_batch(samples, bucket=BucketSpec())
+
+    spect, frame_lengths = featurize_batch(
+        jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lengths"]),
+        conf, normalize=norm)
+    spect = np.asarray(spect)
+    for i, y in enumerate(ys):
+        host = parse_audio_np(y, conf, normalize=norm)
+        tl = int(frame_lengths[i])
+        assert tl == host.shape[1]
+        r = np.abs(spect[i, :, :tl] - host)
+        # bulk agreement at f32 rounding; isolated spectral nulls may deviate
+        # more under max_frame's log1p(S * 2^20), which amplifies f32 FFT
+        # noise at S ~ 0 by up to 2^20
+        assert float(np.quantile(r, 0.999)) < 3e-3
+        assert float(r.max()) < 5e-2
+        # padded frames are zero
+        assert np.all(spect[i, :, tl:] == 0)
+
+
+# ---------------------------------------------------------------------------
+# (c) imported torch checkpoint -> identical greedy transcripts end-to-end
+# ---------------------------------------------------------------------------
+
+def test_imported_checkpoint_greedy_transcripts_match_torch(
+        ref_dl, speech_wavs, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_import_torch import LABELS, _reference_package
+    from tests.test_model import _build_torch_replica, _torch_forward
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.cli.import_torch import convert_package
+    from deepspeech_tpu.decoders import GreedyDecoder
+    from deepspeech_tpu.models import model_from_meta
+    from deepspeech_tpu.text.labels import Labels
+
+    hidden, layers = 32, 2
+    mods = _build_torch_replica(hidden, layers, len(LABELS), seed=3)
+    ref_pkg = _reference_package(mods, hidden, layers)
+    package = convert_package(ref_pkg)
+    model = model_from_meta(package)
+    labels = Labels(package["labels"])
+    decoder = GreedyDecoder(labels.labels)
+    params = jax.tree.map(jnp.asarray, package["params"])
+    batch_stats = jax.tree.map(jnp.asarray, package["batch_stats"])
+
+    parser = _make_ref_parser(ref_dl, normalize="max_frame")
+    for wav in speech_wavs:
+        spect = parser.parse_audio(wav).numpy().astype(np.float32)
+        t = spect.shape[1]
+
+        # torch side: reference forward math on the reference spectrogram
+        logits_t, out_l = _torch_forward(mods, torch.from_numpy(spect[None]),
+                                         [t])
+        ids_t = logits_t.argmax(-1)[0][: int(out_l[0])]
+        torch_text = decoder.decode_ids(ids_t[None],
+                                        np.asarray([len(ids_t)]))[0][0][0]
+
+        # our side: same spectrogram through the flax model + greedy decode
+        logits, probs, out_lens = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(spect[None]), jnp.asarray([t]), False)
+        ids_j = np.asarray(jnp.argmax(logits, -1))[0][: int(out_lens[0])]
+        our_text = decoder.decode_ids(ids_j[None],
+                                      np.asarray([len(ids_j)]))[0][0][0]
+
+        assert our_text == torch_text

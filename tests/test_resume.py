@@ -146,10 +146,15 @@ def test_checkpoint_format_safe_and_pickle_rejected(tmp_path):
     state2 = ckpt.restore_state(loaded, TrainState.create(variables, tx))
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state2.params)):
+        assert np.asarray(a).shape == np.asarray(b).shape  # incl. 0-d
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(state2.opt_state)):
+        assert np.asarray(a).shape == np.asarray(b).shape  # incl. 0-d
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the annealing path reads the restored LR as a scalar
+    from deepspeech_tpu.train import get_lr
+    assert get_lr(state2.opt_state) == pytest.approx(1e-3)
 
     # legacy pickle: rejected by default, readable on explicit opt-in
     legacy = str(tmp_path / "legacy.ckpt")
