@@ -18,6 +18,8 @@ Modes (``python bench.py --mode X`` or ``BENCH_MODE=X``):
 * ``beam``       — beam-width-128 CTC decode (BASELINE config 3): on-device
                    beam search and the native C++ backend.
 * ``bigru1600``  — bare train step at BiGRU-1600 (BASELINE configs 4-5 model).
+* ``stream``     — chunked streaming inference (serve/streaming.py): median
+                   per-chunk latency + real-time factor.
 * ``selfcheck``  — Pallas-vs-XLA equivalence of the CTC loss and RNN layer
                    on the CURRENT backend (the real chip under the driver).
 * ``all``        — every mode, one JSON line each (feeds PERF.md).
@@ -371,12 +373,63 @@ def bench_selfcheck():
     return line
 
 
+# ---------------------------------------------------------------------------
+# stream — chunked low-latency inference (serve/streaming.py)
+# ---------------------------------------------------------------------------
+
+def bench_stream():
+    """Streaming inference: per-chunk step latency and real-time factor of
+    the stateful chunked runtime on a unidirectional DS2 (the serving path;
+    the reference has the Lookahead head but no streaming runtime)."""
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.serve import StreamingTranscriber
+    from deepspeech_tpu.text import Labels
+
+    hidden = _env_int("BENCH_HIDDEN", 800)
+    layers = _env_int("BENCH_LAYERS", 6)
+    chunk_frames = _env_int("BENCH_CHUNK_FRAMES", 96)  # 0.96 s chunks
+    streams = _env_int("BENCH_STREAMS", 1)
+    seconds = float(os.environ.get("BENCH_SECONDS", 30.0))
+
+    model = DeepSpeech2(num_classes=30, hidden_size=hidden,
+                        hidden_layers=layers, cell="gru", bidirectional=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 161, 51)), jnp.asarray([51]), False)
+    labels = Labels("_'ABCDEFGHIJKLMNOPQRSTUVWXYZ2 ")
+    st = StreamingTranscriber(model, variables, labels, AudioConf(),
+                              normalize="max_frame",
+                              chunk_frames=chunk_frames,
+                              batch_size=streams)
+    rng = np.random.default_rng(0)
+    n = int(16000 * seconds)
+    y = (0.1 * rng.standard_normal((streams, n))).astype(np.float32)
+    step_samples = chunk_frames * 160
+    # warmup (compile)
+    st.feed(y[:, :step_samples * 2])
+    lat = []
+    for pos in range(step_samples * 2, n - step_samples, step_samples):
+        t0 = time.perf_counter()
+        st.feed(y[:, pos:pos + step_samples])
+        jax.block_until_ready(st._carry["rnn_h"])
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat)
+    chunk_s = step_samples / 16000.0
+    rtf = chunk_s / float(np.median(lat))  # x real time per stream
+    return _emit("stream_chunk_latency_ms", float(np.median(lat) * 1e3),
+                 "ms/chunk", rtf / 100.0, p90_ms=float(np.quantile(lat, 0.9)
+                                                       * 1e3),
+                 realtime_factor=round(rtf, 1), chunk_seconds=chunk_s,
+                 streams=streams, hidden=hidden, layers=layers)
+
+
 MODES = {
     "step": lambda: bench_step(),
     "loop": bench_loop,
     "eval": bench_eval,
     "beam": bench_beam,
     "bigru1600": lambda: bench_step(hidden=1600, tag="_bigru1600"),
+    "stream": bench_stream,
     "selfcheck": bench_selfcheck,
 }
 

@@ -79,9 +79,9 @@ def main(argv=None) -> int:
     n_utts = 0
     processed_files = []
 
-    for batch in loader:
-        paths = batch.pop("paths")
-        metrics = eval_step(state, batch)
+    def process(metrics, batch, paths):
+        nonlocal total_wer, total_cer, total_wer_ref, total_cer_ref
+        nonlocal utt_wer_sum, utt_cer_sum, n_utts
         probs = np.asarray(metrics["probs"])
         logits_greedy = np.asarray(metrics["greedy"])
         out_lens = np.asarray(metrics["out_lens"])
@@ -133,6 +133,34 @@ def main(argv=None) -> int:
 
             report_rows.append([paths[x], reference, transcript,
                                 round(100 * c / cr, 2), round(100 * w / wr, 2)])
+
+    # pipelined eval: batch N+1's H2D transfer is started as soon as step N
+    # is dispatched (jax.device_put is async) and batch N's host-side decode
+    # happens only after step N+1 is in flight — the device never idles on
+    # the host and the host link never blocks a dispatch
+    batches = iter(loader)
+
+    def pull():
+        b = next(batches, None)
+        if b is None:
+            return None
+        paths = b.pop("paths")
+        return b, {k: jax.device_put(v) for k, v in b.items()}, paths
+
+    pending = None
+    nxt = pull()
+    while nxt is not None:
+        batch, dev_batch, paths = nxt
+        metrics = eval_step(state, dev_batch)
+        nxt = pull()
+        for v in metrics.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        if pending is not None:
+            process(*pending)
+        pending = (metrics, batch, paths)
+    if pending is not None:
+        process(*pending)
 
     if args.report_file:
         os.makedirs(os.path.dirname(os.path.abspath(args.report_file)),

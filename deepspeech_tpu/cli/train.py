@@ -337,6 +337,10 @@ def main(argv=None, observers=()) -> int:
             print(f"mesh: data={n_devices // tp} x model={tp}", flush=True)
 
     def to_device(batch):
+        # always an *async* jax.device_put: callers start batch N+1's
+        # transfer right after dispatching step N, so the H2D copy rides
+        # alongside device compute (on a transport-limited host link the
+        # loop cost becomes max(transfer, compute), not the sum)
         batch = {k: v for k, v in batch.items() if k != "paths"}
         if world > 1:
             # hosts' bins can land on different bucket boundaries; agree on
@@ -345,15 +349,16 @@ def main(argv=None, observers=()) -> int:
         if mesh is not None:
             return {k: jax.device_put(v, batch_sharding(mesh))
                     for k, v in batch.items()}
-        return batch
+        return {k: jax.device_put(v) for k, v in batch.items()}
 
     cfg = StepConfig(audio_conf=audio_conf, normalize=args.norm)
     eval_cfg = StepConfig(audio_conf=test_conf, normalize=args.norm)
     train_step = make_train_step(model, tx, cfg)
     eval_step_fn = make_eval_step(model, eval_cfg)
 
-    def eval_step(s, batch):
-        m = eval_step_fn(s, to_device(batch))
+    def eval_step(s, dev_batch):
+        # transfers happen ahead of time inside evaluate() via to_device
+        m = eval_step_fn(s, dev_batch)
         # multi-host: batch-sharded outputs -> this host's local rows
         return metrics_to_local(m, mesh) if world > 1 else m
 
@@ -402,7 +407,8 @@ def main(argv=None, observers=()) -> int:
         # reference check_model_quality also feeds the val dataset's
         # curriculum history (train.py:376-381)
         summary = evaluate(val_loader, eval_step, state, decoder, labels,
-                           dataset=val_dataset, update_curriculum=True)
+                           dataset=val_dataset, update_curriculum=True,
+                           all_reduce=world > 1, to_device=to_device)
         say(f"[{tag}] epoch {epoch + 1}: loss {summary['loss']:.3f} "
             f"WER {summary['wer']:.2f} CER {summary['cer']:.2f} "
             f"(utt-avg {summary['utt_wer']:.2f}/{summary['utt_cer']:.2f})")
@@ -413,7 +419,8 @@ def main(argv=None, observers=()) -> int:
             history["checkpoint_cer_results"].append(float(summary["cer"]))
         if trainval_loader is not None:
             tv = evaluate(trainval_loader, eval_step, state, decoder, labels,
-                          dataset=trainval_dataset, update_curriculum=True)
+                          dataset=trainval_dataset, update_curriculum=True,
+                          all_reduce=world > 1, to_device=to_device)
             say(f"[trainval] epoch {epoch + 1}: WER {tv['wer']:.2f} "
                 f"CER {tv['cer']:.2f}")
             logger.log("trainval", step=epoch, **tv)
@@ -544,13 +551,28 @@ def main(argv=None, observers=()) -> int:
                                   float(m["grad_norm"]),
                                   epoch * len(loader) + pit)
 
-        for batch in loader.iter_from(it):
+        batches = loader.iter_from(it)
+
+        def pull():
+            """Next host batch + its (async) device transfer. Called right
+            after step N is dispatched, so batch N+1's H2D copy overlaps
+            step N's compute — on a transport-limited host link this turns
+            per-iter cost from transfer+compute into max(transfer, compute)."""
+            b = next(batches, None)
+            if b is None:
+                return None
             watch.mark_data()
+            return b, to_device(b)
+
+        nxt = pull()
+        while nxt is not None:
+            batch, dev_batch = nxt
             maybe_profile(global_step)
             paths = batch.get("paths")
             obs.emit("on_batch_start", epoch, it)
             rng, step_key = jax.random.split(rng)
-            state, m = train_step(state, to_device(batch), step_key)
+            state, m = train_step(state, dev_batch, step_key)
+            nxt = pull()  # start batch N+1's transfer while step N runs
             if world == 1:
                 # start the device->host copies now; by the time
                 # process_pending() reads them (after the NEXT dispatch) the

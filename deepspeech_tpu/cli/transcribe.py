@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--meta", action="store_true",
                    help="include model/decoder metadata")
     p.add_argument("--norm", default="max_frame")
+    p.add_argument("--chunk-seconds", default=0.0, type=float,
+                   help="stream the audio through the low-latency chunked "
+                        "runtime (unidirectional models only; greedy "
+                        "decode), emitting text incrementally to stderr")
     add_decoder_args(p)
     return p
 
@@ -49,6 +53,38 @@ def transcribe(audio_path, audio_conf, model, state, decoder, norm="max_frame",
         {"params": state.params, "batch_stats": state.batch_stats},
         spect, spect_lengths, False)
     return decoder.decode(np.asarray(probs), np.asarray(out_lens))
+
+
+def transcribe_streaming(audio_path, audio_conf, model, state, labels,
+                         chunk_seconds, norm="max_frame", channel=-1,
+                         echo=None):
+    """Chunked low-latency path (serve/streaming.py): feeds the wav through
+    the stateful streaming runtime in ``chunk_seconds`` pieces, reporting
+    each incremental fragment via ``echo`` (e.g. stderr) and returning the
+    final transcript in the same (strings, offsets) shape as transcribe()."""
+    from deepspeech_tpu.audio.dsp import resample
+    from deepspeech_tpu.audio.io import load_audio_norm
+    from deepspeech_tpu.serve import StreamingTranscriber
+
+    y, sr = load_audio_norm(audio_path, channel=channel)
+    if sr != audio_conf.sample_rate:
+        y = resample(y, sr, audio_conf.sample_rate)
+    chunk_frames = max(4, 2 * round(chunk_seconds * audio_conf.sample_rate
+                                    / audio_conf.hop / 2))
+    st = StreamingTranscriber(model,
+                              {"params": state.params,
+                               "batch_stats": state.batch_stats},
+                              labels, audio_conf, normalize=norm,
+                              chunk_frames=chunk_frames)
+    step = chunk_frames * audio_conf.hop
+    for pos in range(0, len(y), step):
+        for frag in st.feed(y[pos:pos + step]):
+            if frag and echo:
+                echo(frag)
+    for frag in st.finish():
+        if frag and echo:
+            echo(frag)
+    return [[st.texts[0]]], [[np.zeros(0, np.int32)]]
 
 
 def decode_results(decoded_output, decoded_offsets, args, package):
@@ -92,9 +128,21 @@ def main(argv=None) -> int:
         args.continue_from)
     decoder = build_decoder(args, labels)
 
-    decoded_output, decoded_offsets = transcribe(
-        args.audio_path, audio_conf, model, state, decoder, norm=args.norm,
-        channel=args.channel)
+    if args.chunk_seconds > 0:
+        import sys
+
+        def echo(frag):
+            print(frag, end="", file=sys.stderr, flush=True)
+
+        decoded_output, decoded_offsets = transcribe_streaming(
+            args.audio_path, audio_conf, model, state, labels,
+            args.chunk_seconds, norm=args.norm, channel=args.channel,
+            echo=echo)
+        print(file=sys.stderr)
+    else:
+        decoded_output, decoded_offsets = transcribe(
+            args.audio_path, audio_conf, model, state, decoder, norm=args.norm,
+            channel=args.channel)
     output = decode_results(decoded_output, decoded_offsets, args, package)
     output["input"] = {"channel": args.channel, "source": args.audio_path}
     output["model"] = {"model": args.continue_from}

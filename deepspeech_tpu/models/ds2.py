@@ -109,7 +109,12 @@ class ConvFrontend(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, out_lengths: jnp.ndarray,
-                 train: bool) -> jnp.ndarray:
+                 train: bool, out_start: jnp.ndarray | None = None
+                 ) -> jnp.ndarray:
+        # ``out_start``: optional (B,) first valid conv-output index — the
+        # streaming runtime (serve/streaming.py) re-zeroes activations
+        # *before* a window's valid range exactly like MaskConv re-zeroes
+        # past its end, so conv2 reads true zeros at both boundaries.
         # x: (B, 161, T) -> (B, T, 161); time on sublanes, freq on lanes
         x = jnp.swapaxes(x, 1, 2)
         k0, b0 = _ConvParams((41, 11, 1, 32), name="conv0")()
@@ -126,6 +131,9 @@ class ConvFrontend(nn.Module):
                               self.compute_dtype,
                               freq_groups=fg)  # (B, T', f_out*32) f32
             mask = length_mask(out_lengths, x.shape[1], x.dtype)[:, :, None]
+            if out_start is not None:
+                mask = mask * (jnp.arange(x.shape[1])[None, :, None]
+                               >= out_start[:, None, None]).astype(x.dtype)
             x = x * mask
             b_, t_, n_ = x.shape
             x = x.reshape(b_, t_, f_out, k.shape[-1])

@@ -38,7 +38,7 @@ def decode_batch_greedy(decoder, metrics: dict, batch: dict, labels):
 
 def evaluate(loader, eval_step, state, decoder, labels,
              dataset=None, update_curriculum: bool = False,
-             progress=None, all_reduce: bool = False):
+             progress=None, all_reduce: bool = False, to_device=None):
     """Run the eval loop. Returns a summary dict with both averaging modes
     (reference test.py:197-209) and the mean loss (train.py:400).
 
@@ -47,7 +47,14 @@ def evaluate(loader, eval_step, state, decoder, labels,
     WER/CER/loss counters are summed across processes before the ratios are
     taken, so every host reports the global summary. The reference instead
     evaluated the full val set on every rank (its check_model_quality has no
-    distributed sampler, train.py:425-429) — world x duplicated compute."""
+    distributed sampler, train.py:425-429) — world x duplicated compute.
+
+    ``to_device``: optional host->device transfer fn. When given, batch
+    N+1's (async) transfer is started right after batch N's step is
+    dispatched, so the copy rides alongside device compute instead of
+    blocking the next dispatch — on a transport-limited host link this is
+    the difference between sum(transfer, compute) and max(transfer,
+    compute) per batch."""
     loss_meter = AverageMeter()
     total_wer = total_cer = total_wer_ref = total_cer_ref = 0.0
     utt_wer = AverageMeter()
@@ -79,11 +86,23 @@ def evaluate(loader, eval_step, state, decoder, labels,
 
     # double-buffered like the train loop: batch N's host decode overlaps
     # batch N+1's device step (the readback inside account() waits on a
-    # step that is already complete)
+    # step that is already complete), and batch N+1's H2D transfer is
+    # started before batch N's results are read back
+    batches = iter(loader)
+
+    def pull():
+        b = next(batches, None)
+        if b is None:
+            return None
+        paths = b.pop("paths", None)
+        return b, (to_device(b) if to_device is not None else b), paths
+
     pending = None
-    for batch in loader:
-        paths = batch.pop("paths", None)
-        metrics = eval_step(state, batch)
+    nxt = pull()
+    while nxt is not None:
+        batch, dev_batch, paths = nxt
+        metrics = eval_step(state, dev_batch)
+        nxt = pull()  # batch N+1's transfer overlaps batch N's compute
         for v in metrics.values():
             if hasattr(v, "copy_to_host_async"):
                 try:
