@@ -128,9 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
                    help="audio padding granularity (static XLA shapes)")
     p.add_argument("--wire-dtype", default="int16",
-                   choices=["int16", "float32"],
+                   choices=["int16", "float32", "mulaw8"],
                    help="host->device waveform wire format; int16 halves "
-                        "transfer bytes (source wavs are int16 PCM; "
+                        "transfer bytes, mulaw8 (G.711 companding, ~38 dB "
+                        "SNR, lossy opt-in) quarters them "
+                        "(source wavs are int16 PCM; "
                         "quantization is ~90 dB below signal)")
     p.add_argument("--max-items", default=0, type=int,
                    help="truncate manifests (debug)")

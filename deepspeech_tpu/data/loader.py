@@ -41,11 +41,14 @@ class BucketSpec:
     # final frame then reads the exact values the host reflect-pad produces,
     # making device == host on every frame instead of "all but the last"
     reflect_tail: int = 160
-    # host->device wire format for the waveforms: "float32" (exact) or
+    # host->device wire format for the waveforms: "float32" (exact),
     # "int16" (audio (B,S) int16 + audio_scale (B,) float32, descaled on
-    # device). Halves PCIe/tunnel bytes; source wavs are int16 PCM anyway,
-    # so the quantization (<=0.5/32767 after peak-norm) only touches
-    # host-augmented samples, ~90 dB below signal.
+    # device), or "mulaw8" (mu-law companded int8, mu=255 — the G.711
+    # telephony codec's ~38 dB SNR, decoded on device). int16 halves
+    # PCIe/tunnel bytes — source wavs are int16 PCM anyway, so the
+    # quantization (<=0.5/32767 after peak-norm) only touches
+    # host-augmented samples, ~90 dB below signal; mulaw8 quarters them
+    # (lossy — opt-in for transport-starved host links only).
     wire_dtype: str = "float32"
 
     def pad_to(self, n: int, step: int, lo: int = 0) -> int:
@@ -93,6 +96,12 @@ def collate_batch(samples: list[dict], batch_size: int | None = None,
             q = np.rint(audio / scale[:, None] * 32767.0)
             batch["audio"] = q.astype(np.int16)
             batch["audio_scale"] = (scale / 32767.0).astype(np.float32)
+        elif bucket.wire_dtype == "mulaw8":
+            scale = np.maximum(np.abs(audio).max(axis=1), 1e-9)
+            xn = audio / scale[:, None]
+            v = np.sign(xn) * np.log1p(255.0 * np.abs(xn)) / np.log(256.0)
+            batch["audio"] = np.rint(v * 127.0).astype(np.int8)
+            batch["audio_scale"] = scale.astype(np.float32)
         else:
             batch["audio"] = audio
         batch["audio_lengths"] = audio_lengths

@@ -70,9 +70,16 @@ def _featurize(batch, cfg: StepConfig, rng, train: bool):
                     k_jit, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
         audio = batch["audio"]
         if "audio_scale" in batch:
-            # int16 wire format (data/loader.py BucketSpec.wire_dtype):
-            # descale on device — halves the host->device bytes
-            audio = audio.astype(jnp.float32) * batch["audio_scale"][:, None]
+            # quantized wire formats (data/loader.py BucketSpec.wire_dtype):
+            # decode on device — int16 halves the host->device bytes
+            # (linear descale), mulaw8 quarters them (mu-law expansion)
+            if audio.dtype == jnp.int8:
+                v = audio.astype(jnp.float32) * (1.0 / 127.0)
+                audio = (jnp.sign(v) * jnp.expm1(jnp.abs(v) * jnp.log(256.0))
+                         * (1.0 / 255.0)) * batch["audio_scale"][:, None]
+            else:
+                audio = (audio.astype(jnp.float32)
+                         * batch["audio_scale"][:, None])
         return featurize_batch(audio, batch["audio_lengths"],
                                cfg.audio_conf, cfg.normalize,
                                method=cfg.stft_method, jitter=jitter,
