@@ -8,6 +8,7 @@ sequential state (conv context, RNN hiddens, lookahead FIFO, running
 normalization statistics) carried as device arrays.
 """
 
+from deepspeech_tpu.serve.pool import StreamPool
 from deepspeech_tpu.serve.streaming import StreamingTranscriber
 
-__all__ = ["StreamingTranscriber"]
+__all__ = ["StreamingTranscriber", "StreamPool"]

@@ -266,6 +266,7 @@ class StreamingTranscriber:
                         .astype(np.int32)),
             jnp.asarray(np.minimum(self._t_out, _INT_SENTINEL)
                         .astype(np.int32)),
+            jnp.zeros(self.batch_size, jnp.int32),  # lockstep: streams at 0
             self.variables)
         g = self.geo
         anchor_base = self._conv_base - self.model.context
@@ -299,11 +300,19 @@ class StreamingTranscriber:
 # the jitted chunk step
 # ---------------------------------------------------------------------------
 
-def _chunk_step(carry, audio, t_frames_total, t_out_total, variables, *,
+def _chunk_step(carry, audio, t_frames_total, t_out_total, start_frames,
+                variables, *,
                 model: DeepSpeech2, geo: _Geometry, normalize: str,
                 window: np.ndarray, frozen: bool):
     """One streaming step: (carry, (B, K*hop) samples) -> (carry,
-    (B, K/2, C) logits anchored ``context`` conv outputs in the past)."""
+    (B, K/2, C) logits anchored ``context`` conv outputs in the past).
+
+    ``start_frames`` (B,) int32 (even): the global frame index where each
+    lane's stream begins — 0 for lockstep streams; the continuous-batching
+    pool (StreamPool) points it at the chunk boundary where a stream joined
+    its slot, so every validity test below is stream-relative and a lane
+    can be reassigned to a new stream without touching the shared buffers
+    (stale frames land at negative relative indices and mask to zero)."""
     k = geo.chunk_frames
     e = geo.emit
     w = geo.window_frames
@@ -325,10 +334,10 @@ def _chunk_step(carry, audio, t_frames_total, t_out_total, variables, *,
     appended = carry["appended"] + k
     mag_buf = jnp.concatenate([carry["mag_buf"][..., k:], mag], axis=-1)
 
-    # global frame index of every buffer slot, (W,)
+    # stream-relative frame index of every buffer slot, (B, W)
     g_idx = appended - w + jnp.arange(w, dtype=jnp.int32)
-    valid_f = ((g_idx[None, :] >= 0)
-               & (g_idx[None, :] < t_frames_total[:, None]))   # (B, W)
+    g_rel = g_idx[None, :] - start_frames[:, None]
+    valid_f = (g_rel >= 0) & (g_rel < t_frames_total[:, None])  # (B, W)
     new_valid = valid_f[:, -k:].astype(jnp.float32)            # (B, K)
 
     # ---- normalization scalars (running or frozen) -------------------------
@@ -376,22 +385,24 @@ def _chunk_step(carry, audio, t_frames_total, t_out_total, variables, *,
     # read TRUE zeros outside the utterance (MaskConv semantics at the end,
     # conv zero-padding at the start), not conv1-of-zeros activations
     s_half = (appended - w) // 2          # global conv idx of local output 0
+    start_half = start_frames // 2        # per-lane conv-idx offset
     t_out_eff = jnp.minimum(t_out_total, 2 ** 30)
-    lo = jnp.maximum(-s_half, 0)
-    hi = jnp.clip(t_out_eff - s_half, 0, wp)
+    lo = jnp.clip(start_half - s_half, 0, wp)                  # (B,)
+    hi = jnp.clip(t_out_eff + start_half - s_half, 0, wp)      # (B,)
     x = ConvFrontend(bnm=model.bnm, compute_dtype=model.compute_dtype).apply(
         conv_vars, spect, hi.astype(jnp.int32), False,
-        jnp.full((b,), lo, jnp.int32))
+        lo.astype(jnp.int32))
     # feature reorder f*32+c -> c*41+f (ds2.py:171-173)
     f, c = 41, 32
     x = jnp.swapaxes(x.reshape(b, wp, f, c), 2, 3).reshape(b, wp, f * c)
     x = x[:, _EMIT_LAG_OUT:_EMIT_LAG_OUT + e, :].astype(jnp.float32)
 
-    # emitted conv outputs' global indices + validity
+    # emitted conv outputs' stream-relative indices + validity
     out_base = (appended - w) // 2 + _EMIT_LAG_OUT
     o_idx = out_base + jnp.arange(e, dtype=jnp.int32)          # (E,)
-    valid_o = ((o_idx[None, :] >= 0)
-               & (o_idx[None, :] < t_out_total[:, None])
+    o_rel = o_idx[None, :] - start_half[:, None]               # (B, E)
+    valid_o = ((o_rel >= 0)
+               & (o_rel < t_out_total[:, None])
                ).astype(jnp.float32)                           # (B, E)
 
     # ---- unidirectional RNN stack with carried state -----------------------
