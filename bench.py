@@ -255,10 +255,19 @@ def bench_eval():
     m = eval_step(state, batch)
     decode_batch_greedy(decoder, m, batch, labels)  # warm
 
+    # pipelined like the real eval loop (train/evaluate.py): batch N's host
+    # decode overlaps batch N+1's device step
     t0 = time.perf_counter()
+    pending = None
     for _ in range(steps):
         m = eval_step(state, batch)
-        decode_batch_greedy(decoder, m, batch, labels)
+        for v in m.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        if pending is not None:
+            decode_batch_greedy(decoder, pending, batch, labels)
+        pending = m
+    decode_batch_greedy(decoder, pending, batch, labels)
     dt = time.perf_counter() - t0
     value = batch_size * seconds * steps / dt / max(len(jax.devices()), 1)
     return _emit("eval_audio_seconds_per_s_per_chip", value,

@@ -147,3 +147,57 @@ def test_transcribe_cli(trained):
     assert out["_meta"]["decoder"]["type"] == "greedy"
     assert out["input"]["source"] == wav
     assert out["model"]["model"] == ckpt
+
+
+@pytest.fixture(scope="module")
+def trained_uni(trained, tmp_path_factory):
+    """A unidirectional (streaming-capable) checkpoint on the same data."""
+    _, manifest, wav = trained
+    save = tmp_path_factory.mktemp("cli_uni") / "ckpt"
+    r = _run("train.py", [
+        "--train-manifest", manifest, "--val-manifest", manifest,
+        "--batch-size", "2", "--hidden-size", "16", "--hidden-layers", "1",
+        "--no-bidirectional", "--num-workers", "0", "--epochs", "1",
+        "--save-folder", str(save), "--id", "cli-uni",
+        "--log-dir", str(save / "logs")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return str(save / "deepspeech_final.ckpt"), manifest, wav
+
+
+@pytest.mark.slow
+def test_transcribe_cli_streaming_matches_batch(trained_uni):
+    """--chunk-seconds streams through serve/streaming.py; with the
+    checkpoint's normalization stats running causally the transcript may
+    differ from batch mode only through the norm scalar, so just assert
+    the streaming path produces the same JSON contract and a transcript."""
+    ckpt, _, wav = trained_uni
+    r = _run("transcribe.py", [
+        "--model-path", ckpt, "--audio-path", wav,
+        "--chunk-seconds", "0.2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "transcription" in out["output"][0]
+
+
+@pytest.mark.slow
+def test_serve_cli_continuous_batching(trained_uni, tmp_path):
+    ckpt, manifest, _ = trained_uni
+    out_path = tmp_path / "serve.jsonl"
+    r = _run("serve.py", [
+        "--continue-from", ckpt, "--manifest", manifest,
+        "--slots", "2", "--chunk-seconds", "0.2",
+        "--output", str(out_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(l) for l in out_path.read_text().splitlines()]
+    assert len(recs) == 6  # every manifest row served
+    assert {r["wav"] for r in recs} == {
+        l.split(",")[0] for l in open(manifest) if l.strip()}
+    assert "served 6 utterances" in r.stderr
+
+
+@pytest.mark.slow
+def test_serve_cli_rejects_bidirectional(trained, tmp_path):
+    ckpt, manifest, _ = trained
+    r = _run("serve.py", ["--continue-from", ckpt, "--manifest", manifest])
+    assert r.returncode != 0
+    assert "unidirectional" in (r.stderr + r.stdout)
