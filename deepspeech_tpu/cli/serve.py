@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="-",
                    help="JSONL output path ('-' = stdout)")
     p.add_argument("--max-items", default=0, type=int)
+    # --decoder comes from add_inference_args; beam/device_beam both select
+    # the streaming prefix beam search (no LM fusion in streaming)
+    from deepspeech_tpu.cli.args import add_decoder_args
+    add_decoder_args(p)
     return p
 
 
@@ -71,11 +75,16 @@ def main(argv=None) -> int:
     chunk_frames = max(4, 2 * round(args.chunk_seconds
                                     * audio_conf.sample_rate
                                     / audio_conf.hop / 2))
+    use_beam = args.decoder in ("beam", "device_beam")
     pool = StreamPool(model,
                       {"params": state.params,
                        "batch_stats": state.batch_stats},
                       labels, audio_conf, normalize=args.norm,
-                      chunk_frames=chunk_frames, slots=args.slots)
+                      chunk_frames=chunk_frames, slots=args.slots,
+                      decoder="beam" if use_beam else "greedy",
+                      beam_width=args.beam_width,
+                      cutoff_top_n=args.cutoff_top_n,
+                      cutoff_prob=args.cutoff_prob)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     pending = list(wavs)
@@ -108,7 +117,9 @@ def main(argv=None) -> int:
                 slot_ticks[s] += 1
                 if pool.done(s):
                     rec = {"wav": slot_wav.pop(s),
-                           "transcription": pool.text(s),
+                           "transcription": (pool.beam_text(s)
+                                             if use_beam
+                                             else pool.text(s)),
                            "chunks": slot_ticks.pop(s)}
                     out.write(json.dumps(rec, ensure_ascii=False) + "\n")
                     out.flush()

@@ -57,11 +57,15 @@ def transcribe(audio_path, audio_conf, model, state, decoder, norm="max_frame",
 
 def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                          chunk_seconds, norm="max_frame", channel=-1,
-                         echo=None):
+                         echo=None, decoder="greedy", beam_width=16,
+                         cutoff_top_n=40, cutoff_prob=1.0, top_paths=1):
     """Chunked low-latency path (serve/streaming.py): feeds the wav through
     the stateful streaming runtime in ``chunk_seconds`` pieces, reporting
-    each incremental fragment via ``echo`` (e.g. stderr) and returning the
-    final transcript in the same (strings, offsets) shape as transcribe()."""
+    each incremental greedy fragment via ``echo`` (e.g. stderr) and
+    returning the final transcript in the same (strings, offsets) shape as
+    transcribe(). With ``decoder="beam"`` the streaming prefix beam search
+    rides the same emission and the final transcript is the best beam
+    (exactly equal to the one-shot device beam search)."""
     from deepspeech_tpu.audio.dsp import resample
     from deepspeech_tpu.audio.io import load_audio_norm
     from deepspeech_tpu.serve import StreamingTranscriber
@@ -75,7 +79,11 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                               {"params": state.params,
                                "batch_stats": state.batch_stats},
                               labels, audio_conf, normalize=norm,
-                              chunk_frames=chunk_frames)
+                              chunk_frames=chunk_frames,
+                              decoder="beam" if decoder == "beam" else "greedy",
+                              beam_width=beam_width,
+                              cutoff_top_n=cutoff_top_n,
+                              cutoff_prob=cutoff_prob)
     step = chunk_frames * audio_conf.hop
     for pos in range(0, len(y), step):
         for frag in st.feed(y[pos:pos + step]):
@@ -84,6 +92,9 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
     for frag in st.finish():
         if frag and echo:
             echo(frag)
+    if decoder == "beam":
+        return [st.beam_texts(top_paths=top_paths)[0]], \
+            [[np.zeros(0, np.int32)] * top_paths]
     return [[st.texts[0]]], [[np.zeros(0, np.int32)]]
 
 
@@ -137,7 +148,9 @@ def main(argv=None) -> int:
         decoded_output, decoded_offsets = transcribe_streaming(
             args.audio_path, audio_conf, model, state, labels,
             args.chunk_seconds, norm=args.norm, channel=args.channel,
-            echo=echo)
+            echo=echo, decoder=args.decoder, beam_width=args.beam_width,
+            cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
+            top_paths=args.top_paths)
         print(file=sys.stderr)
     else:
         decoded_output, decoded_offsets = transcribe(

@@ -171,6 +171,71 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     return new_state, None
 
 
+# ---------------------------------------------------------------------------
+# streaming continuation API: the beam state is an explicit carry, so a
+# search can be advanced chunk-by-chunk (serve/streaming.py feeds each
+# chunk's emitted frames) and finalized at any time. Because padded steps
+# (valid=False) decode a certain blank and provably leave every merged beam
+# unchanged, a chunked run is EXACTLY equal to the one-shot batch search
+# over the concatenated valid frames.
+# ---------------------------------------------------------------------------
+
+def beam_state_init(batch: int, beam_width: int, max_len: int):
+    """Fresh batched beam state: beam 0 = the empty prefix per lane."""
+    k, l = beam_width, max_len
+
+    def one(_):
+        h0 = jnp.where(jnp.arange(k) == 0, 1, -(jnp.arange(k) + 2))
+        return (
+            jnp.full((k, l), -1, jnp.int32),       # prefixes
+            jnp.full((k, l), -1, jnp.int32),       # offsets
+            jnp.zeros((k,), jnp.int32),            # lens
+            jnp.full((k,), -1, jnp.int32),         # last
+            h0.astype(jnp.int32),                  # h1
+            h0.astype(jnp.int32),                  # h2
+            jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF),  # p_b
+            jnp.full((k,), NEG_INF),               # p_nb
+        )
+
+    return jax.vmap(one)(jnp.arange(batch))
+
+
+@partial(jax.jit, static_argnames=("blank", "cutoff_top_n", "cutoff_prob"))
+def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
+                      valid: jnp.ndarray, blank: int = 0,
+                      cutoff_top_n: int = 40, cutoff_prob: float = 1.0):
+    """Advance a batched beam state by one chunk.
+
+    logits: (B, T, C) raw logits (log-softmax applied here so it fuses);
+    ts: (B, T) int32 global frame index per step (stamped into offsets);
+    valid: (B, T) bool — False steps are no-ops (certain blank).
+    """
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    max_len = state[0].shape[-1]
+
+    def one(st, lp, t, v):
+        step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
+                       cutoff_prob=cutoff_prob, max_len=max_len)
+        st, _ = jax.lax.scan(step, st, (lp, t, v))
+        return st
+
+    return jax.vmap(one)(state, log_probs, ts.astype(jnp.int32), valid)
+
+
+@partial(jax.jit, static_argnames=("top_paths",))
+def beam_state_best(state, top_paths: int = 1):
+    """(prefixes (B,P,L), lens (B,P), offsets (B,P,L), scores (B,P)) of the
+    current best beams — callable mid-stream or at the end."""
+
+    def one(st):
+        prefixes, offsets, lens, _, _, _, p_b, p_nb = st
+        score = jnp.logaddexp(p_b, p_nb)
+        order = jnp.argsort(-score)[:top_paths]
+        return prefixes[order], lens[order], offsets[order], score[order]
+
+    return jax.vmap(one)(state)
+
+
 @partial(jax.jit, static_argnames=("beam_width", "blank", "cutoff_top_n",
                                    "cutoff_prob", "top_paths", "max_len"))
 def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,

@@ -45,11 +45,16 @@ class StreamPool:
 
     def __init__(self, model, variables, labels, audio_conf=None,
                  normalize: str = "max_frame", chunk_frames: int = 96,
-                 slots: int = 8, frozen_norm=None):
+                 slots: int = 8, frozen_norm=None,
+                 decoder: str = "greedy", beam_width: int = 16,
+                 cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                 beam_max_len: int = 1000):
         self._st = StreamingTranscriber(
             model, variables, labels, audio_conf, normalize=normalize,
             chunk_frames=chunk_frames, batch_size=slots,
-            frozen_norm=frozen_norm)
+            frozen_norm=frozen_norm, decoder=decoder, beam_width=beam_width,
+            cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
+            beam_max_len=beam_max_len)
         self.slots = slots
         self.labels = labels
         g = self._st.geo
@@ -71,6 +76,7 @@ class StreamPool:
         self._prev_id = [None] * slots
         self._text = [""] * slots
         self._done_text = [None] * slots
+        self._done_beam = [None] * slots
         self._logit_blocks: list[list] = [[] for _ in range(slots)]
 
     # -- lifecycle ---------------------------------------------------------
@@ -90,6 +96,7 @@ class StreamPool:
                 self._prev_id[s] = None
                 self._text[s] = ""
                 self._done_text[s] = None
+                self._done_beam[s] = None
                 self._logit_blocks[s] = []
                 self.underruns[s] = 0
                 return s
@@ -169,6 +176,13 @@ class StreamPool:
                 c["rnn_h"] = c["rnn_h"].at[:, s].set(0.0)
                 c["rnn_c"] = c["rnn_c"].at[:, s].set(0.0)
                 c["la_buf"] = c["la_buf"].at[s].set(0.0)
+                if st._beam_state is not None:
+                    from deepspeech_tpu.decoders.beam_device import \
+                        beam_state_init
+                    fresh = beam_state_init(1, st.beam_width, st.beam_max_len)
+                    st._beam_state = tuple(
+                        a.at[s].set(f[0]) for a, f in zip(st._beam_state,
+                                                          fresh))
                 if st.frozen_norm is None:
                     c["norm_sum"] = c["norm_sum"].at[s].set(0.0)
                     c["norm_cnt"] = c["norm_cnt"].at[s].set(0.0)
@@ -204,10 +218,22 @@ class StreamPool:
             jnp.asarray(np.minimum(self._start, _INT_SENTINEL)
                         .astype(np.int32)),
             st.variables)
-        logits = np.asarray(logits)
         self._appended += g.chunk_frames
         anchor_base_global = self._conv_base - self._ctx
         self._conv_base += g.emit
+        if st._beam_state is not None:
+            from deepspeech_tpu.decoders.beam_device import ctc_beam_continue
+            idx = (anchor_base_global
+                   + np.arange(g.emit, dtype=np.int64)[None, :]
+                   - (self._start[:, None] // 2))
+            valid = (np.asarray(active_mask)[:, None]
+                     & (idx >= 0) & (idx < t_out[:, None]))
+            st._beam_state = ctc_beam_continue(
+                st._beam_state, logits,
+                jnp.asarray(np.clip(idx, -1, 2 ** 30).astype(np.int32)),
+                jnp.asarray(valid), blank=self.labels.blank_index,
+                cutoff_top_n=st.cutoff_top_n, cutoff_prob=st.cutoff_prob)
+        logits = np.asarray(logits)
 
         frags = [""] * self.slots
         blank = self.labels.blank_index
@@ -234,5 +260,18 @@ class StreamPool:
             if (self._state[s] == CLOSING
                     and self._n_emitted[s] >= self._t_out[s]):
                 self._done_text[s] = self._text[s]
+                if self._st._beam_state is not None:
+                    self._done_beam[s] = self.beam_text(s)
                 self._state[s] = FREE
         return frags
+
+    def beam_text(self, slot: int) -> str:
+        """Best beam hypothesis for this slot (decoder="beam"): the
+        finished stream's final beam once done, else the current best."""
+        if self._done_beam[slot] is not None:
+            return self._done_beam[slot]
+        from deepspeech_tpu.decoders.beam_device import beam_state_best
+        prefixes, lens, _, _ = beam_state_best(self._st._beam_state, 1)
+        n = int(np.asarray(lens)[slot, 0])
+        ids = np.asarray(prefixes)[slot, 0, :n]
+        return "".join(self.labels.labels[int(x)] for x in ids)

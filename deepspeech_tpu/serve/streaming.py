@@ -100,7 +100,10 @@ class StreamingTranscriber:
     def __init__(self, model: DeepSpeech2, variables, labels,
                  audio_conf: AudioConf | None = None,
                  normalize: str = "max_frame", chunk_frames: int = 96,
-                 batch_size: int = 1, frozen_norm=None):
+                 batch_size: int = 1, frozen_norm=None,
+                 decoder: str = "greedy", beam_width: int = 16,
+                 cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                 beam_max_len: int = 1000):
         if model.bidirectional:
             raise ValueError("streaming requires a unidirectional model "
                              "(lookahead head, reference model.py:329-333)")
@@ -127,6 +130,16 @@ class StreamingTranscriber:
                                                normalize=normalize,
                                                window=self._window,
                                                frozen=frozen_norm is not None))
+        # optional streaming prefix beam search riding the same emission
+        # (decoders/beam_device.py continuation API): chunked == one-shot
+        # exactly, since invalid steps are score-preserving blanks
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder must be greedy|beam, got {decoder!r}")
+        self.decoder = decoder
+        self.beam_width = beam_width
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = float(cutoff_prob)
+        self.beam_max_len = beam_max_len
         self.reset()
 
     # -- stream lifecycle --------------------------------------------------
@@ -164,6 +177,12 @@ class StreamingTranscriber:
         self._logits: list[np.ndarray] = []   # per-step (B, E, C)
         self._anchor_bases: list[int] = []
         self._n_emitted = np.zeros(self.batch_size, np.int64)
+        self._beam_state = None
+        if getattr(self, "decoder", "greedy") == "beam":
+            from deepspeech_tpu.decoders.beam_device import beam_state_init
+            self._beam_state = beam_state_init(self.batch_size,
+                                               self.beam_width,
+                                               self.beam_max_len)
 
     # -- feeding -----------------------------------------------------------
 
@@ -224,6 +243,23 @@ class StreamingTranscriber:
     def texts(self) -> list[str]:
         return list(self._texts)
 
+    def beam_texts(self, top_paths: int = 1):
+        """Current best beam hypotheses (decoder="beam"): nested
+        [stream][path] strings, callable mid-stream or after finish().
+        Chunked beam == one-shot batch beam exactly (invalid steps are
+        score-preserving blanks)."""
+        if self._beam_state is None:
+            raise RuntimeError('built with decoder="greedy"; '
+                               'pass decoder="beam"')
+        from deepspeech_tpu.decoders.beam_device import beam_state_best
+        prefixes, lens, _, _ = beam_state_best(self._beam_state,
+                                               top_paths=top_paths)
+        prefixes, lens = np.asarray(prefixes), np.asarray(lens)
+        chars = self.labels.labels
+        return [["".join(chars[int(x)] for x in prefixes[b, p, : lens[b, p]])
+                 for p in range(top_paths)]
+                for b in range(self.batch_size)]
+
     def collected_logits(self) -> np.ndarray:
         """(B, T_out, C) logits emitted so far (anchors >= 0 only)."""
         if not self._logits:
@@ -271,6 +307,17 @@ class StreamingTranscriber:
         g = self.geo
         anchor_base = self._conv_base - self.model.context
         self._conv_base += g.emit
+        if self._beam_state is not None:
+            from deepspeech_tpu.decoders.beam_device import ctc_beam_continue
+            idx = anchor_base + np.arange(g.emit, dtype=np.int64)[None, :]
+            valid = (idx >= 0) & (idx < self._t_out[:, None])
+            self._beam_state = ctc_beam_continue(
+                self._beam_state, logits,
+                jnp.asarray(np.broadcast_to(idx, valid.shape)
+                            .astype(np.int32)),
+                jnp.asarray(valid), blank=self.labels.blank_index,
+                cutoff_top_n=self.cutoff_top_n,
+                cutoff_prob=self.cutoff_prob)
         logits = np.asarray(logits)
         self._logits.append(logits)
         self._anchor_bases.append(anchor_base)

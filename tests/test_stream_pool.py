@@ -117,3 +117,42 @@ def test_pool_full_raises(setup):
     pool.open()
     with pytest.raises(RuntimeError):
         pool.open()
+
+
+def test_pool_beam_decoding(setup):
+    model, variables, labels = setup
+    ys = [_audio(0.8, 8), _audio(1.1, 9)]
+
+    def single_beam(y):
+        st = StreamingTranscriber(model, variables, labels, AudioConf(),
+                                  normalize="none", chunk_frames=CHUNK,
+                                  decoder="beam", beam_width=8)
+        st.feed(y)
+        st.finish()
+        return st.beam_texts()[0][0]
+
+    refs = [single_beam(y) for y in ys]
+
+    pool = StreamPool(model, variables, labels, AudioConf(),
+                      normalize="none", chunk_frames=CHUNK, slots=2,
+                      decoder="beam", beam_width=8)
+    s0 = pool.open()
+    pool.write(s0, ys[0])
+    pool.close(s0)
+    pool.tick()                       # stagger the joins
+    s1 = pool.open()
+    pool.write(s1, ys[1])
+    pool.close(s1)
+    while pool.busy():
+        pool.tick()
+    assert pool.beam_text(s0) == refs[0]
+    assert pool.beam_text(s1) == refs[1]
+
+    # slot reuse keeps beam lanes independent
+    s2 = pool.open()
+    y2 = _audio(0.6, 10)
+    pool.write(s2, y2)
+    pool.close(s2)
+    while pool.busy():
+        pool.tick()
+    assert pool.beam_text(s2) == single_beam(y2)

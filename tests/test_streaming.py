@@ -145,3 +145,28 @@ def test_streaming_chunk_size_invariance():
 def _stft_mag(y, conf):
     from deepspeech_tpu.audio.features import audio_to_stft_np
     return audio_to_stft_np(y, conf).T  # (T, bins)
+
+
+def test_streaming_beam_matches_batch_beam():
+    """decoder="beam": the chunked beam continuation must produce the SAME
+    hypothesis as the one-shot device beam search over the batch logits."""
+    model, variables = _make_model(layers=1, hidden=32)
+    conf = AudioConf()
+    labels = Labels(EN_LABELS)
+    y = _audio(seconds=1.2, seed=21)
+    ref_logits, t_out = _batch_logits(model, variables, y, conf, "none")
+
+    from deepspeech_tpu.decoders.beam_device import ctc_beam_search_device
+    lp = jax.nn.log_softmax(jnp.asarray(ref_logits)[None], axis=-1)
+    prefixes, lens, _, scores = ctc_beam_search_device(
+        lp, jnp.asarray([t_out]), beam_width=8, blank=labels.blank_index)
+    n = int(lens[0, 0])
+    batch_text = "".join(EN_LABELS[int(x)]
+                         for x in np.asarray(prefixes)[0, 0, :n])
+
+    st = StreamingTranscriber(model, variables, labels, conf,
+                              normalize="none", chunk_frames=32,
+                              decoder="beam", beam_width=8)
+    st.feed(y)
+    st.finish()
+    assert st.beam_texts()[0][0] == batch_text
