@@ -400,6 +400,7 @@ def bench_stream():
     chunk_frames = _env_int("BENCH_CHUNK_FRAMES", 96)  # 0.96 s chunks
     streams = _env_int("BENCH_STREAMS", 1)
     seconds = float(os.environ.get("BENCH_SECONDS", 30.0))
+    decoder = os.environ.get("BENCH_STREAM_DECODER", "greedy")
 
     model = DeepSpeech2(num_classes=30, hidden_size=hidden,
                         hidden_layers=layers, cell="gru", bidirectional=False)
@@ -409,7 +410,8 @@ def bench_stream():
     st = StreamingTranscriber(model, variables, labels, AudioConf(),
                               normalize="max_frame",
                               chunk_frames=chunk_frames,
-                              batch_size=streams)
+                              batch_size=streams, decoder=decoder,
+                              beam_width=_env_int("BENCH_BEAM_WIDTH", 16))
     rng = np.random.default_rng(0)
     n = int(16000 * seconds)
     y = (0.1 * rng.standard_normal((streams, n))).astype(np.float32)
@@ -421,6 +423,8 @@ def bench_stream():
         t0 = time.perf_counter()
         st.feed(y[:, pos:pos + step_samples])
         jax.block_until_ready(st._carry["rnn_h"])
+        if st._beam_state is not None:
+            jax.block_until_ready(st._beam_state[6])
         lat.append(time.perf_counter() - t0)
     lat = np.array(lat)
     chunk_s = step_samples / 16000.0
@@ -429,7 +433,8 @@ def bench_stream():
                  "ms/chunk", rtf / 100.0, p90_ms=float(np.quantile(lat, 0.9)
                                                        * 1e3),
                  realtime_factor=round(rtf, 1), chunk_seconds=chunk_s,
-                 streams=streams, hidden=hidden, layers=layers)
+                 streams=streams, hidden=hidden, layers=layers,
+                 decoder=decoder)
 
 
 MODES = {
