@@ -201,3 +201,14 @@ def test_serve_cli_rejects_bidirectional(trained, tmp_path):
     r = _run("serve.py", ["--continue-from", ckpt, "--manifest", manifest])
     assert r.returncode != 0
     assert "unidirectional" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_transcribe_cli_streaming_beam(trained_uni):
+    ckpt, _, wav = trained_uni
+    r = _run("transcribe.py", [
+        "--model-path", ckpt, "--audio-path", wav,
+        "--chunk-seconds", "0.2", "--decoder", "beam", "--beam-width", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "transcription" in out["output"][0]
