@@ -48,7 +48,7 @@ class StreamPool:
                  slots: int = 8, frozen_norm=None,
                  decoder: str = "greedy", beam_width: int = 16,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 beam_max_len: int = 1000):
+                 beam_max_len: int = 1000, collect_logits: bool = False):
         self._st = StreamingTranscriber(
             model, variables, labels, audio_conf, normalize=normalize,
             chunk_frames=chunk_frames, batch_size=slots,
@@ -77,6 +77,9 @@ class StreamPool:
         self._text = [""] * slots
         self._done_text = [None] * slots
         self._done_beam = [None] * slots
+        # logits retention is opt-in: a long-running server would otherwise
+        # accumulate every chunk's (B, E, C) block forever
+        self._collect_logits = collect_logits
         self._logit_blocks: list[list] = [[] for _ in range(slots)]
 
     # -- lifecycle ---------------------------------------------------------
@@ -242,7 +245,8 @@ class StreamPool:
             if self._state[s] not in (ACTIVE, CLOSING):
                 continue
             base_rel = anchor_base_global - int(self._start[s]) // 2
-            self._logit_blocks[s].append((base_rel, logits[s]))
+            if self._collect_logits:
+                self._logit_blocks[s].append((base_rel, logits[s]))
             frag = []
             for j in range(g.emit):
                 idx = base_rel + j

@@ -53,7 +53,8 @@ def test_pool_matches_single_stream_with_staggered_joins(setup):
     refs = [_single(model, variables, labels, y) for y in ys]
 
     pool = StreamPool(model, variables, labels, AudioConf(),
-                      normalize="none", chunk_frames=CHUNK, slots=4)
+                      normalize="none", chunk_frames=CHUNK, slots=4,
+                      collect_logits=True)
     s0 = pool.open()
     pool.write(s0, ys[0])
     pool.close(s0)
@@ -87,7 +88,8 @@ def test_pool_slot_reuse(setup):
     ref_b = _single(model, variables, labels, y_b)
 
     pool = StreamPool(model, variables, labels, AudioConf(),
-                      normalize="none", chunk_frames=CHUNK, slots=1)
+                      normalize="none", chunk_frames=CHUNK, slots=1,
+                      collect_logits=True)
     s = pool.open()
     pool.write(s, y_a)
     pool.close(s)
@@ -156,3 +158,28 @@ def test_pool_beam_decoding(setup):
     while pool.busy():
         pool.tick()
     assert pool.beam_text(s2) == single_beam(y2)
+
+
+def test_pool_underrun_silence_fill(setup):
+    """An ACTIVE slot with no buffered audio at tick time is silence-filled
+    in real time (underruns counted) and still completes correctly."""
+    model, variables, labels = setup
+    pool = StreamPool(model, variables, labels, AudioConf(),
+                      normalize="none", chunk_frames=CHUNK, slots=1)
+    y = _audio(0.9, 13)
+    s = pool.open()
+    half = len(y) // 2
+    pool.write(s, y[:half])
+    while len(pool._buf[s]) >= pool._A:  # drain what we have
+        pool.tick()
+    pool.tick()                           # ACTIVE with empty buffer
+    assert pool.underruns[s] >= 1
+    pool.write(s, y[half:])               # stream resumes (silence gap)
+    pool.close(s)
+    n = 0
+    while pool.busy():
+        pool.tick()
+        n += 1
+        assert n < 200
+    assert pool.done(s)
+    assert isinstance(pool.text(s), str)
