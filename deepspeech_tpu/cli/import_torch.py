@@ -85,6 +85,74 @@ def convert_state_dict(sd: dict, hidden_layers: int, bidirectional: bool):
     return params, stats
 
 
+CNN_IMPORT_KEYS = ("cnn", "cnn_residual", "glu_small", "large_cnn")
+
+
+def _natsort(key: str):
+    return [int(t) if t.isdigit() else t for t in key.split(".")]
+
+
+def convert_cnn_state_dict(sd: dict, blocks):
+    """Reference CNN-family state_dict -> our ConvStack params/batch_stats.
+
+    Works for every runnable CNN variant by walking the torch keys in
+    natural order instead of hard-coding each module tree: a 3-D ``.weight``
+    under ``rnns.`` is the next block's Conv1d (reference Wav2Letter is a
+    flat Sequential, model.py:506-562; ResidualWav2Letter / SmallGLU /
+    LargeCNN nest ``layers.N.conv``), a ``.running_mean`` is its BatchNorm,
+    and ``_se_reduce``/``_se_expand`` 1x1 convs attach squeeze-excitation to
+    the block sharing their prefix (ResCNNBlock, model.py:674-723). The
+    unused DS2 conv stack the reference always builds (``conv.seq_module``,
+    model.py:208-215) is ignored.
+    """
+    sd = {k: _np(v) for k, v in sd.items()}
+    convs, bns = [], []
+    se: dict = {}
+    for k in sorted((k for k in sd if k.startswith("rnns.")), key=_natsort):
+        if k.endswith(".running_mean"):
+            bns.append(k[: -len("running_mean")])
+        elif k.endswith(".weight") and sd[k].ndim == 3:
+            base = k[: -len("weight")]
+            if "_se_reduce." in k or "_se_expand." in k:
+                blockp = base.rsplit("_se_", 1)[0]
+                which = "reduce" if "_se_reduce." in k else "expand"
+                se.setdefault(blockp, {})[which] = (sd[k],
+                                                    sd.get(base + "bias"))
+            else:
+                blockp = base[: -len("conv.")] if base.endswith("conv.") \
+                    else base
+                convs.append((blockp, sd[k], sd.get(base + "bias")))
+    if len(convs) != len(blocks) or len(bns) != len(blocks):
+        raise ValueError(
+            f"checkpoint has {len(convs)} convs / {len(bns)} batchnorms but "
+            f"the {len(blocks)}-block architecture was expected")
+    params: dict = {}
+    stats: dict = {}
+    for i, (blockp, w, b) in enumerate(convs):
+        # torch Conv1d (out, in, k) -> flax Conv kernel (k, in, out)
+        p: dict = {"conv": {"kernel": np.ascontiguousarray(
+            w.transpose(2, 1, 0))}}
+        if b is not None:
+            p["conv"]["bias"] = b
+        bnp = bns[i]
+        p["bn"] = {"scale": sd[bnp + "weight"], "bias": sd[bnp + "bias"]}
+        stats[f"block{i}"] = {"bn": {"mean": sd[bnp + "running_mean"],
+                                     "var": sd[bnp + "running_var"]}}
+        if blockp in se:
+            (rw, rb) = se[blockp]["reduce"]
+            (ew, eb) = se[blockp]["expand"]
+            # 1x1 Conv1d (out, in, 1) -> Dense kernel (in, out)
+            p["se_reduce"] = {"kernel": np.ascontiguousarray(rw[:, :, 0].T),
+                              "bias": rb}
+            p["se_expand"] = {"kernel": np.ascontiguousarray(ew[:, :, 0].T),
+                              "bias": eb}
+        params[f"block{i}"] = p
+    # head: fc.0 is Conv1d(size -> num_classes, k=1) (model.py:232-234)
+    params["fc"] = {"kernel": np.ascontiguousarray(
+        sd["fc.0.weight"].transpose(2, 1, 0)), "bias": sd["fc.0.bias"]}
+    return params, stats
+
+
 def convert_package(tpkg: dict) -> dict:
     """Reference torch package -> our checkpoint package."""
     from deepspeech_tpu.models.factory import RNN_KEYS
@@ -93,15 +161,30 @@ def convert_package(tpkg: dict) -> dict:
     rnn_type = tpkg["rnn_type"]
     if not isinstance(rnn_type, str):  # older saves stored the nn class
         rnn_type = rnn_type.__name__.lower()
-    if rnn_type not in RNN_KEYS:
-        raise NotImplementedError(
-            f"torch import supports the DS2 branch {RNN_KEYS}; "
-            f"got rnn_type={rnn_type!r}")
     labels = tpkg["labels"]
     bidirectional = bool(tpkg.get("bidirectional", True))
     hidden_layers = int(tpkg["hidden_layers"])
-    params, stats = convert_state_dict(tpkg["state_dict"], hidden_layers,
-                                       bidirectional)
+    if rnn_type in RNN_KEYS:
+        params, stats = convert_state_dict(tpkg["state_dict"], hidden_layers,
+                                           bidirectional)
+    elif rnn_type in CNN_IMPORT_KEYS:
+        from deepspeech_tpu.models.cnn import build_cnn_model
+        model = build_cnn_model(
+            rnn_type, num_classes=len(labels),
+            cnn_width=int(tpkg.get("cnn_width", 0) or 256),
+            hidden_size=int(tpkg["hidden_size"]),
+            hidden_layers=hidden_layers,
+            bnm=float(tpkg.get("bnm", 0.1)),
+            # reference overloads bidirectional=False as "use GLU"
+            # (model.py:228 'not_glu': _bidirectional)
+            use_glu=not bidirectional)
+        params, stats = convert_cnn_state_dict(tpkg["state_dict"],
+                                               model.blocks)
+    else:
+        raise NotImplementedError(
+            f"torch import supports {RNN_KEYS + CNN_IMPORT_KEYS}; "
+            f"got rnn_type={rnn_type!r} (glu_large / cnn_jasper are dead "
+            f"code in the reference — no real checkpoints exist)")
     meta = {
         "rnn_type": rnn_type, "num_classes": len(labels),
         "hidden_size": int(tpkg["hidden_size"]),

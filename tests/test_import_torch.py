@@ -102,8 +102,85 @@ def test_import_and_forward_parity(tmp_path):
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_import_rejects_cnn_package():
+def test_import_rejects_dead_code_variants():
+    # glu_large / cnn_jasper are unrunnable dead code in the reference —
+    # no real checkpoints can exist, so the importer refuses them
     with pytest.raises(NotImplementedError):
+        convert_package({"rnn_type": "glu_large", "hidden_size": 8,
+                         "hidden_layers": 1, "labels": "ab",
+                         "state_dict": {}, "bidirectional": True})
+
+
+def test_import_cnn_rejects_malformed_state_dict():
+    with pytest.raises(ValueError):
         convert_package({"rnn_type": "cnn", "hidden_size": 8,
                          "hidden_layers": 1, "labels": "ab",
                          "state_dict": {}, "bidirectional": True})
+
+
+# ---------------------------------------------------------------------------
+# CNN-family import: drive the ACTUAL reference model.py under torch
+# ---------------------------------------------------------------------------
+
+def _load_reference_model():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_model", "/root/reference/model.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("rnn_type,bidirectional,kw", [
+    ("cnn", True, dict(rnn_hidden_size=24, nb_layers=2, cnn_width=16)),
+    ("cnn", False, dict(rnn_hidden_size=24, nb_layers=2, cnn_width=16)),
+    ("cnn_residual", True, dict(rnn_hidden_size=24, nb_layers=2,
+                                cnn_width=16)),
+    ("glu_small", True, dict(rnn_hidden_size=24, nb_layers=4, cnn_width=0)),
+    ("large_cnn", True, dict(rnn_hidden_size=24, nb_layers=2, cnn_width=0)),
+])
+def test_import_cnn_variants_forward_parity(rnn_type, bidirectional, kw):
+    """Instantiate the reference's own CNN model, serialize with ITS
+    serialize(), convert, and assert forward parity. The reference forward
+    is bypassed only for its unconditional CUDA assert (model.py:344) — the
+    CNN branch is exactly rnns -> fc (model.py:348-353)."""
+    ref = _load_reference_model()
+    rnn_key = rnn_type  # string keys are what checkpoints carry
+
+    torch.manual_seed(0)
+    m = ref.DeepSpeech(rnn_type=rnn_key, labels=LABELS,
+                       bidirectional=bidirectional, bnm=0.1, dropout=0,
+                       audio_conf={"sample_rate": 16000,
+                                   "window_size": 0.02}, **kw)
+    m.eval()
+    pkg = ref.DeepSpeech.serialize(m)
+
+    native = convert_package(pkg)
+    from deepspeech_tpu.models.factory import model_from_meta
+    from deepspeech_tpu.train import checkpoint as ckpt
+
+    model = model_from_meta(native)
+    params = native["state"]["params"] if "state" in native else None
+    # go through the real save/load path
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.ckpt")
+        ckpt.save(path, native)
+        loaded = ckpt.load(path)
+        params = loaded["params"]
+        batch_stats = loaded["batch_stats"]
+
+    t = 37
+    rng = np.random.default_rng(0)
+    spect = rng.standard_normal((161, t)).astype(np.float32)
+
+    with torch.no_grad():
+        y = m.fc(m.rnns(torch.from_numpy(spect[None])))     # (1, C, T')
+        ref_logits = y.transpose(1, 2).numpy()[0]
+
+    logits, _, out_lens = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(spect)[None], jnp.asarray([t]), False)
+    got = np.asarray(logits)[0, : int(out_lens[0])]
+    assert got.shape == ref_logits.shape, (got.shape, ref_logits.shape)
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
