@@ -80,7 +80,8 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                                "batch_stats": state.batch_stats},
                               labels, audio_conf, normalize=norm,
                               chunk_frames=chunk_frames,
-                              decoder="beam" if decoder == "beam" else "greedy",
+                              decoder="beam" if decoder in ("beam", "device_beam")
+                              else "greedy",
                               beam_width=beam_width,
                               cutoff_top_n=cutoff_top_n,
                               cutoff_prob=cutoff_prob)
@@ -92,7 +93,7 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
     for frag in st.finish():
         if frag and echo:
             echo(frag)
-    if decoder == "beam":
+    if decoder in ("beam", "device_beam"):
         return [st.beam_texts(top_paths=top_paths)[0]], \
             [[np.zeros(0, np.int32)] * top_paths]
     return [[st.texts[0]]], [[np.zeros(0, np.int32)]]

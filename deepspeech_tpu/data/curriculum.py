@@ -24,7 +24,16 @@ class Curriculum:
     @classmethod
     def sample(cls, items, getter, epoch, min=1):
         """Yield items with per-item probability from get_prob until at least
-        ``min`` have been yielded; epoch-seeded (reference curriculum.py:10-21)."""
+        ``min`` have been yielded; epoch-seeded (reference curriculum.py:10-21).
+
+        The reference loops forever on an empty item list (its while-loop can
+        never reach ``min``); here an empty/over-filtered manifest raises
+        instead of spinning (intentional divergence, see PARITY.md)."""
+        items = list(items)
+        if not items and min > 0:
+            raise ValueError(
+                "Curriculum.sample: no items to sample from (empty or "
+                "fully filtered manifest)")
         rng = random.Random(epoch)
         total = 0
         while total < min:

@@ -31,7 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deepspeech_tpu.serve.streaming import (_INT_SENTINEL, StreamingTranscriber)
+from deepspeech_tpu.serve.streaming import (_EMIT_LAG_OUT, _INT_SENTINEL,
+                                            StreamingTranscriber)
 
 FREE, PENDING, ACTIVE, CLOSING = range(4)
 
@@ -61,7 +62,7 @@ class StreamPool:
         self._pad = g.n_fft // 2
         self._A = g.chunk_samples
         self._appended = 0          # device frame counter mirror
-        self._conv_base = -8        # _EMIT_LAG_OUT
+        self._conv_base = -_EMIT_LAG_OUT
         self._ctx = model.context
         self.underruns = np.zeros(slots, np.int64)
         self._state = [FREE] * slots
@@ -208,6 +209,13 @@ class StreamPool:
                 if state == ACTIVE and take < A and take:
                     self.underruns[s] += 1
                     self._fed[s] += A - take  # silence completes the chunk
+                if state == ACTIVE and take < A:
+                    # the device-visible stream just ended with silence fill:
+                    # keep _tail in sync so close()'s reflect pad mirrors
+                    # what the device actually saw, not the pre-silence audio
+                    joined = np.concatenate(
+                        [self._tail[s], np.zeros(A - take, np.float32)])
+                    self._tail[s] = joined[-(pad + 1):]
 
         # one fixed-shape device step for the whole pool
         active_mask = [self._state[s] in (ACTIVE, CLOSING)
@@ -267,6 +275,16 @@ class StreamPool:
                 if self._st._beam_state is not None:
                     self._done_beam[s] = self.beam_text(s)
                 self._state[s] = FREE
+        if not self.busy():
+            # fully idle: rebase the global frame counters so a long-running
+            # pool never wraps the int32 stream-relative index math (the
+            # device carry casts to int32; without this, ~2^31 frames of
+            # uptime would silently corrupt every validity mask)
+            self._appended = 0
+            self._conv_base = -_EMIT_LAG_OUT
+            self._start[:] = 0
+            c = self._st._carry
+            c["appended"] = jnp.zeros_like(c["appended"])
         return frags
 
     def beam_text(self, slot: int) -> str:

@@ -71,6 +71,12 @@ class TestCurriculum:
         assert Curriculum.get_prob("hello guys", 0.2) == pytest.approx(0.22)
         assert Curriculum.get_prob("hello guys", 0.1) == pytest.approx(0.12)
 
+    def test_sample_empty_items_raises(self):
+        # the reference spins forever here (its while-loop can never reach
+        # ``min`` with no items, reference curriculum.py:10-21); we raise
+        with pytest.raises(ValueError, match="no items"):
+            list(Curriculum.sample([], lambda it: ("", 0.2), epoch=0, min=1))
+
     def test_sample_deterministic_and_min(self):
         items = [(f"wav{i}", f"text {i}", 0.3) for i in range(50)]
         getter = lambda it: (it[1], 0.2)  # peak probability
