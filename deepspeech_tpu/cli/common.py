@@ -61,14 +61,12 @@ def build_decoder(args, labels):
     (reference test.py:73-83; ``device_beam`` is TPU-native extra)."""
     if getattr(args, "decoder", "greedy") == "device_beam":
         from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
-        if getattr(args, "lm_path", None):
-            raise SystemExit(
-                "--decoder device_beam does not support --lm-path; "
-                "use --decoder beam for LM shallow fusion")
         return DeviceBeamCTCDecoder(
             labels.labels, beam_width=args.beam_width,
             cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
-            top_paths=args.top_paths, blank_index=labels.blank_index)
+            top_paths=args.top_paths, blank_index=labels.blank_index,
+            lm_path=getattr(args, "lm_path", None),
+            alpha=args.alpha, beta=args.beta)
     if getattr(args, "decoder", "greedy") == "beam":
         from deepspeech_tpu.decoders import BeamCTCDecoder
         return BeamCTCDecoder(

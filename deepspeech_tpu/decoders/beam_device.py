@@ -42,6 +42,25 @@ from deepspeech_tpu.decoders.base import Decoder
 NEG_INF = -jnp.inf
 _HASH_M1 = jnp.int32(1000003)
 _HASH_M2 = jnp.int32(69069)
+# modular inverses of the (odd) hash multipliers mod 2^32, as signed int32:
+# h_parent = (h_child - char - 1) * M^-1 exactly undoes one hash roll
+_HASH_M1_INV = jnp.int32(np.uint32(pow(1000003, -1, 2**32)).astype(np.int32))
+_HASH_M2_INV = jnp.int32(np.uint32(pow(69069, -1, 2**32)).astype(np.int32))
+_LOG10 = float(np.log(10.0))
+# each beam's chars + frame offsets share one packed int32 row:
+# slot = (frame + 1) * _PACK + char_id  (0 = empty). Caps num_classes at 64
+# (the reference alphabet is ~30) and frame indices at 2^25 (~77 h of audio
+# per decode at 10 ms emission — far past any single utterance/stream).
+_PACK = 64
+_PACK_BITS = 6
+
+
+def unpack_prefix(pox, lens):
+    """Packed (…, L) rows -> (chars, frame_offsets), -1 beyond each length."""
+    valid = jnp.arange(pox.shape[-1]) < lens[..., None]
+    chars = jnp.where(valid, pox & (_PACK - 1), -1)
+    offs = jnp.where(valid, (pox >> _PACK_BITS) - 1, -1)
+    return chars, offs
 
 
 def _masked_lse(x: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -60,6 +79,9 @@ def _prune_step(lp: jnp.ndarray, cutoff_top_n: int,
     chars, and if ``cutoff_prob < 1`` only as many (probability-sorted) as
     needed to cover ``cutoff_prob`` mass. Pruned chars get -inf."""
     c = lp.shape[-1]
+    if cutoff_top_n >= c and cutoff_prob >= 1.0:
+        return lp  # pruning is a no-op at these knobs: skip the two
+        # per-step argsorts (sorts inside a scan are expensive on TPU)
     order = jnp.argsort(-lp)
     rank = jnp.argsort(order)  # rank[i] = position of char i in sorted order
     keep = rank < min(cutoff_top_n, c)
@@ -73,10 +95,15 @@ def _prune_step(lp: jnp.ndarray, cutoff_top_n: int,
 
 
 def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
-               cutoff_prob: float, max_len: int):
-    prefixes, offsets, lens, last, h1, h2, p_b, p_nb = state
+               cutoff_prob: float, max_len: int, lm=None, space: int = -1,
+               alpha: float = 0.0, beta: float = 0.0):
+    if lm is None:
+        pox, lens, last, h1, h2, p_b, p_nb = state
+    else:
+        (pox, lens, last, h1, h2, p_b, p_nb,
+         lm_ctx, lm_len, lm_trie) = state
     lp, t, t_valid = inputs
-    k, c = prefixes.shape[0], lp.shape[0]
+    k, c = pox.shape[0], lp.shape[0]
 
     # Padded steps decode a certain blank: every beam keeps its score.
     onehot_blank = jnp.where(jnp.arange(c) == blank, 0.0, NEG_INF)
@@ -88,11 +115,25 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
 
     # --- candidates: K stays + (K, C) extends ---
     last_c = jnp.clip(last, 0, c - 1)
+    lp_last = lp[last_c]  # (K,)
     stay_pb = total + lp[blank]
-    stay_pnb = jnp.where(lens > 0, p_nb + lp[last_c], NEG_INF)
+    stay_pnb = jnp.where(lens > 0, p_nb + lp_last, NEG_INF)
 
     ext = jnp.where(jnp.arange(c)[None, :] == last[:, None],
                     p_b[:, None], total[:, None]) + lp[None, :]  # (K, C)
+    if lm is not None:
+        # shallow fusion: extending with the space char completes the
+        # beam's partial word; score it against the parent's word context
+        # exactly like the host decoder's lm_word_bonus (beam.py:84-90)
+        from deepspeech_tpu.decoders.lm_device import (lm_score_word,
+                                                       trie_word_id)
+        wid_cur = jax.vmap(lambda nd: trie_word_id(lm, nd))(lm_trie)
+        lm_sc = jax.vmap(
+            lambda cx, cl, w: lm_score_word(lm, cx, cl, w))(
+                lm_ctx, lm_len, wid_cur)
+        bonus = jnp.where(lm_trie != 0,
+                          alpha * lm_sc * _LOG10 + beta, 0.0)  # (K,)
+        ext = ext + bonus[:, None] * (jnp.arange(c)[None, :] == space)
     ext_ok = (parent_ok[:, None] & (jnp.arange(c)[None, :] != blank)
               & (lens[:, None] < max_len) & (ext > NEG_INF))
 
@@ -108,16 +149,38 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
 
     # --- exact merge. Beam prefixes are pairwise-distinct, so two stays
     # never collide, and extends of equal length collide only if parent+char
-    # coincide — i.e. never. The ONLY merge is extend(i,c) == stay(j):
-    # an O(K^2 C) comparison instead of the O((KC)^2) all-pairs grid.
-    eq = ((eh1[:, :, None] == h1[None, None, :])
-          & (eh2[:, :, None] == h2[None, None, :]))  # (K, C, K)
-    ext_absorbed = eq.any(-1)  # (K, C)
-    ext_flat = ext.reshape(k * c)
+    # coincide — i.e. never. The ONLY merge is extend(i,c) == stay(j).
+    # That extend's char is necessarily the STAY's last char, and the
+    # rolling hash is an invertible affine map mod 2^32 (odd multiplier), so
+    # each stay's PARENT hash is recovered exactly — hp = (h - last - 1) *
+    # M^-1 — and the merge is a pure (K, K) pair comparison: hp[j] == h[i]
+    # on both lanes. No C factor, no gather, no sort. (TPU-measured: the
+    # O(K^2 C) eq-grid walled at width 128; gather- and sort-based rewrites
+    # were each >13x SLOWER than that grid — gathers/sorts inside a scan are
+    # poison on the VPU; this form is pure broadcast arithmetic. PERF.md.)
+    hp1 = (h1 - (last + 1)) * _HASH_M1_INV  # (K,) parent hash of each stay
+    hp2 = (h2 - (last + 1)) * _HASH_M2_INV
+    # ext value at (parent i, char = last[j]) rebuilt bit-exactly from the
+    # same terms as ext[i, ch] (sel + lp[ch] [+ space bonus])
+    sel_ij = jnp.where(last[None, :] == last[:, None],
+                       p_b[:, None], total[:, None])  # (K parent, K stay)
+    ext_at = sel_ij + lp_last[None, :]
+    if lm is not None:
+        ext_at = ext_at + jnp.where(last[None, :] == space,
+                                    bonus[:, None], 0.0)
+    match_ij = ((hp1[None, :] == h1[:, None]) & (hp2[None, :] == h2[:, None])
+                & (lens[None, :] > 0) & parent_ok[:, None]
+                & (lens[:, None] < max_len) & (ext_at > NEG_INF))
     # mass of absorbed extends joins the matching stay's non-blank prob
-    add_pnb = _masked_lse(jnp.broadcast_to(ext_flat[:, None], (k * c, k)),
-                          eq.reshape(k * c, k), 0)  # (K,)
+    add_pnb = _masked_lse(ext_at, match_ij, axis=0)           # (K,)
     stay_pnb = jnp.logaddexp(stay_pnb, add_pnb)
+    # absorbed extends: (i, ch) with a matching stay j whose last == ch —
+    # a tiny bool matmul instead of a scatter
+    onehot_last = ((last[:, None] == jnp.arange(c)[None, :])
+                   & (lens > 0)[:, None])
+    ext_absorbed = jnp.dot(match_ij.astype(jnp.float32),
+                           onehot_last.astype(jnp.float32)) > 0.5  # (K, C)
+    ext_flat = ext.reshape(k * c)
 
     stay_score = jnp.where(parent_ok,
                            jnp.logaddexp(stay_pb, stay_pnb), NEG_INF)
@@ -127,14 +190,17 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     # are processed in score order = row order): when an absorbed extend's
     # parent row i ranks above the stay row j, the merged beam carries the
     # EXTEND's offsets (char stamped at this frame), not the stay's.
-    m_ij = eq.any(1)  # (K parent, K stay)
-    has_ext = m_ij.any(0)
-    i_min = jnp.argmax(m_ij, axis=0)  # first matching parent per stay
+    # Chars + frame offsets ride ONE packed int32 row per beam
+    # (pox = (t+1)*64 + char; the parent's chars equal the stay's by
+    # construction), halving the (K, L) carry traffic per step.
+    has_ext = match_ij.any(0)
+    i_min = jnp.argmax(match_ij, axis=0)  # first matching parent per stay
     use_ext_off = has_ext & (i_min < jnp.arange(k))
     pos_i = lens[i_min]
     write_i = jnp.arange(max_len)[None, :] == pos_i[:, None]
-    off_from_ext = jnp.where(write_i, t, offsets[i_min])
-    stay_offsets = jnp.where(use_ext_off[:, None], off_from_ext, offsets)
+    pack_j = (t + 1) * _PACK + last_c  # the stay's own char, stamped now
+    off_from_ext = jnp.where(write_i, pack_j[:, None], pox[i_min])
+    stay_pox = jnp.where(use_ext_off[:, None], off_from_ext, pox)
 
     # --- select beams and rebuild prefix rows (layout: [stays | extends]) ---
     score = jnp.concatenate([stay_score, ext_score])
@@ -152,22 +218,42 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
 
     pos = lens[parent]  # (K,)
     write = is_ext[:, None] & (jnp.arange(max_len)[None, :] == pos[:, None])
-    new_prefixes = jnp.where(write, char[:, None], prefixes[parent])
-    base_off = jnp.where(is_ext[:, None], offsets[parent],
-                         stay_offsets[parent])
-    new_offsets = jnp.where(write, t, base_off)
+    base = jnp.where(is_ext[:, None], pox[parent], stay_pox[parent])
+    new_pox = jnp.where(write, ((t + 1) * _PACK + char)[:, None], base)
     new_lens = pos + is_ext.astype(lens.dtype)
     new_last = jnp.where(is_ext, char, last[parent])
 
     sent = -(jnp.arange(k, dtype=jnp.int32) + 2)
     new_state = (
-        new_prefixes, new_offsets, new_lens,
+        new_pox, new_lens,
         jnp.where(sel_ok, new_last, -1),
         jnp.where(sel_ok, h1_all[idx], sent),
         jnp.where(sel_ok, h2_all[idx], sent),
         jnp.where(sel_ok, pb_all[idx], NEG_INF),
         jnp.where(sel_ok, pnb_all[idx], NEG_INF),
     )
+    if lm is not None:
+        # per-beam LM carry: a space extend completes the parent's partial
+        # word (context gains its vocab id, partial resets); any other
+        # extend walks one char-trie edge; stays inherit the parent's state
+        from deepspeech_tpu.decoders.lm_device import trie_advance
+        ctx_p = lm_ctx[parent]
+        len_p = lm_len[parent]
+        trie_p = lm_trie[parent]
+        adv = jax.vmap(lambda nd, ch: trie_advance(lm, nd, ch))(trie_p, char)
+        is_space_ext = is_ext & (char == space)
+        completes = is_space_ext & (trie_p != 0)
+        om1 = lm_ctx.shape[1]
+        if om1 > 0:
+            shifted = jnp.concatenate(
+                [ctx_p[:, 1:], wid_cur[parent][:, None]], axis=1)
+            new_ctx = jnp.where(completes[:, None], shifted, ctx_p)
+        else:
+            new_ctx = ctx_p
+        new_clen = jnp.where(completes, jnp.minimum(len_p + 1, om1), len_p)
+        new_trie = jnp.where(is_space_ext, 0,
+                             jnp.where(is_ext, adv, trie_p))
+        new_state = new_state + (new_ctx, new_clen, new_trie)
     return new_state, None
 
 
@@ -187,8 +273,7 @@ def beam_state_init(batch: int, beam_width: int, max_len: int):
     def one(_):
         h0 = jnp.where(jnp.arange(k) == 0, 1, -(jnp.arange(k) + 2))
         return (
-            jnp.full((k, l), -1, jnp.int32),       # prefixes
-            jnp.full((k, l), -1, jnp.int32),       # offsets
+            jnp.zeros((k, l), jnp.int32),          # pox (packed char+frame)
             jnp.zeros((k,), jnp.int32),            # lens
             jnp.full((k,), -1, jnp.int32),         # last
             h0.astype(jnp.int32),                  # h1
@@ -210,6 +295,8 @@ def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
     ts: (B, T) int32 global frame index per step (stamped into offsets);
     valid: (B, T) bool — False steps are no-ops (certain blank).
     """
+    if logits.shape[-1] > _PACK:
+        raise ValueError(f"beam search supports up to {_PACK} classes")
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     max_len = state[0].shape[-1]
 
@@ -228,37 +315,45 @@ def beam_state_best(state, top_paths: int = 1):
     current best beams — callable mid-stream or at the end."""
 
     def one(st):
-        prefixes, offsets, lens, _, _, _, p_b, p_nb = st
+        pox, lens, _, _, _, p_b, p_nb = st
         score = jnp.logaddexp(p_b, p_nb)
         order = jnp.argsort(-score)[:top_paths]
-        return prefixes[order], lens[order], offsets[order], score[order]
+        prefixes, offsets = unpack_prefix(pox[order], lens[order])
+        return prefixes, lens[order], offsets, score[order]
 
     return jax.vmap(one)(state)
 
 
 @partial(jax.jit, static_argnames=("beam_width", "blank", "cutoff_top_n",
-                                   "cutoff_prob", "top_paths", "max_len"))
+                                   "cutoff_prob", "top_paths", "max_len",
+                                   "space", "alpha", "beta"))
 def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
                            beam_width: int = 10, blank: int = 0,
                            cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                           top_paths: int = 1, max_len: int | None = None):
+                           top_paths: int = 1, max_len: int | None = None,
+                           lm: dict | None = None, space: int = -1,
+                           alpha: float = 0.0, beta: float = 0.0):
     """Batched CTC prefix beam search, fully on device.
 
     Args:
       log_probs: (B, T, C) log posteriors.
       lengths:   (B,) valid frame counts.
+      lm: optional device LM arrays (decoders/lm_device.py) for word-level
+        shallow fusion at ``space`` emissions with weights alpha/beta —
+        the on-chip equivalent of ctcdecode+KenLM (ref decoder.py:95-99).
     Returns:
       prefixes (B, top_paths, L) int32 padded with -1 beyond each length,
       lens (B, top_paths), offsets (B, top_paths, L) frame indices,
-      scores (B, top_paths) merged log probabilities.
+      scores (B, top_paths) merged log probabilities (LM bonuses included).
     """
     b, t_max, c = log_probs.shape
+    if c > _PACK:
+        raise ValueError(f"beam search supports up to {_PACK} classes")
     k = beam_width
     l = t_max if max_len is None else min(max_len, t_max)
 
     def decode_one(lp_utt, length):
-        prefixes = jnp.full((k, l), -1, jnp.int32)
-        offsets = jnp.full((k, l), -1, jnp.int32)
+        pox = jnp.zeros((k, l), jnp.int32)
         lens = jnp.zeros((k,), jnp.int32)
         last = jnp.full((k,), -1, jnp.int32)
         # beam 0 = the empty prefix; others start invalid w/ sentinel hashes
@@ -267,20 +362,37 @@ def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         h2 = h0.astype(jnp.int32)
         p_b = jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)
         p_nb = jnp.full((k,), NEG_INF)
+        init = (pox, lens, last, h1, h2, p_b, p_nb)
+        if lm is not None:
+            from deepspeech_tpu.decoders.lm_device import lm_state_init
+            init = init + lm_state_init(lm, k)
 
         step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
-                       cutoff_prob=cutoff_prob, max_len=l)
+                       cutoff_prob=cutoff_prob, max_len=l, lm=lm,
+                       space=space, alpha=alpha, beta=beta)
         ts = jnp.arange(t_max, dtype=jnp.int32)
-        state, _ = jax.lax.scan(
-            step, (prefixes, offsets, lens, last, h1, h2, p_b, p_nb),
-            (lp_utt, ts, ts < length))
-        prefixes, offsets, lens, _, _, _, p_b, p_nb = state
+        state, _ = jax.lax.scan(step, init, (lp_utt, ts, ts < length))
+        pox, lens = state[0], state[1]
+        p_b, p_nb = state[5], state[6]
 
         score = jnp.logaddexp(p_b, p_nb)
+        if lm is not None:
+            # pending partial word completes at finalization, like the host
+            # decoder's end-of-utterance bonus (beam.py:151-156)
+            from deepspeech_tpu.decoders.lm_device import (lm_score_word,
+                                                           trie_word_id)
+            lm_ctx, lm_len, lm_trie = state[7], state[8], state[9]
+            wid = jax.vmap(lambda nd: trie_word_id(lm, nd))(lm_trie)
+            sc = jax.vmap(
+                lambda cx, cl, w: lm_score_word(lm, cx, cl, w))(
+                    lm_ctx, lm_len, wid)
+            score = score + jnp.where(lm_trie != 0,
+                                      alpha * sc * _LOG10 + beta, 0.0)
         order = jnp.argsort(-score)[:top_paths]
-        return (prefixes[order], lens[order], offsets[order], score[order])
+        prefixes, offsets = unpack_prefix(pox[order], lens[order])
+        return (prefixes, lens[order], offsets, score[order])
 
-    return jax.vmap(decode_one)(log_probs, lengths)
+    return jax.vmap(decode_one, in_axes=(0, 0))(log_probs, lengths)
 
 
 class DeviceBeamCTCDecoder(Decoder):
@@ -288,18 +400,29 @@ class DeviceBeamCTCDecoder(Decoder):
 
     Same call convention as :class:`~.beam.BeamCTCDecoder` /
     reference decoder.py:128-143 — ``decode(probs, sizes)`` returns
-    (strings, offsets) nested [batch][path]. No LM fusion (use the host
-    decoder for KenLM-style shallow fusion)."""
+    (strings, offsets) nested [batch][path]. With ``lm_path`` the word
+    n-gram LM rides the chip too (decoders/lm_device.py): shallow fusion
+    ``alpha * log10 P(word|ctx) + beta`` at space emissions inside the
+    compiled search — the on-device twin of ctcdecode+KenLM
+    (reference decoder.py:95-99, opts.py:5-9)."""
 
     def __init__(self, labels, beam_width=10, cutoff_top_n=40,
                  cutoff_prob=1.0, top_paths=1, blank_index=0,
-                 max_len: int | None = None):
+                 max_len: int | None = None, lm_path: str | None = None,
+                 alpha: float = 0.8, beta: float = 1.0):
         super().__init__(labels, blank_index)
         self.beam_width = beam_width
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = float(cutoff_prob)
         self.top_paths = top_paths
         self.max_len = max_len
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        if lm_path:
+            from deepspeech_tpu.decoders.lm_device import load_device_lm
+            self.lm = load_device_lm(lm_path, labels)
+        else:
+            self.lm = None
 
     def decode(self, probs, sizes=None):
         probs = jnp.asarray(probs)
@@ -311,7 +434,9 @@ class DeviceBeamCTCDecoder(Decoder):
             log_probs, sizes, beam_width=self.beam_width,
             blank=self.blank_index, cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob, top_paths=self.top_paths,
-            max_len=self.max_len)
+            max_len=self.max_len, lm=self.lm,
+            space=(self.space_index if self.lm is not None else -1),
+            alpha=self.alpha, beta=self.beta)
         prefixes = np.asarray(prefixes)
         lens = np.asarray(lens)
         offsets = np.asarray(offsets)

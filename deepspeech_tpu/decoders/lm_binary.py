@@ -217,8 +217,8 @@ class BinaryLM:
         self.vocab_size = header["vocab_size"]
         self.counts = {int(k): v for k, v in header["counts"].items()}
         # O(vocab) resident index; everything else stays on the map
-        self._wid = {w: i for i, w in enumerate(vocab.split("\n"))} \
-            if vocab else {}
+        self.vocab = vocab.split("\n") if vocab else []
+        self._wid = {w: i for i, w in enumerate(self.vocab)}
         self._a = {}
         for name, (dt, shape, pos) in header["arrays"].items():
             n = int(np.prod(shape)) if shape else 1

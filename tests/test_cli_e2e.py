@@ -132,6 +132,25 @@ def test_eval_cli_beam(trained, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_device_beam_with_lm(trained, tmp_path):
+    """--decoder device_beam --lm-path: LM-fused beam search fully on
+    device through the batch-eval CLI (the on-chip twin of the reference's
+    ctcdecode+KenLM eval, reference test.py:73-83 + opts.py:5-9)."""
+    from tests.test_beam import ARPA
+    ckpt, manifest, _ = trained
+    lm = tmp_path / "t.arpa"
+    lm.write_text(ARPA)
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "3", "--num-workers", "0", "--max-items", "2",
+        "--decoder", "device_beam", "--beam-width", "8",
+        "--lm-path", str(lm), "--alpha", "0.8", "--beta", "0.3",
+        "--report-file", str(tmp_path / "r.csv")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
 def test_transcribe_cli(trained):
     ckpt, _, wav = trained
     r = _run("transcribe.py", [
