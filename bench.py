@@ -308,6 +308,46 @@ def bench_beam():
     line = _emit("beam128_device_audio_seconds_per_s", dev_value,
                  "audio-s/s", width=width)
 
+    # LM-fused variant: synthetic word LM resident on device, scored inside
+    # the search (the on-chip ctcdecode+KenLM role; BASELINE config 5)
+    if os.environ.get("BENCH_BEAM_LM", "1") != "0":
+        import tempfile
+
+        from deepspeech_tpu.decoders.lm_device import load_device_lm
+        labels = "_'ABCDEFGHIJKLMNOPQRSTUVWXYZ2 "  # len == num_classes
+        rng_w = np.random.default_rng(1)
+        vocab = sorted({"".join(rng_w.choice(list(labels[2:28]),
+                                             size=rng_w.integers(2, 8)))
+                        for _ in range(2000)})
+        lines = ["\\data\\", f"ngram 1={len(vocab) + 3}",
+                 f"ngram 2={len(vocab)}", "", "\\1-grams:",
+                 "-0.5\t<s>\t-0.3", "-0.5\t</s>\t0", "-3.5\t<unk>\t0"]
+        lines += [f"-{1.0 + 3.0 * rng_w.random():.4f}\t{w}\t-0.3"
+                  for w in vocab]
+        lines += ["", "\\2-grams:"]
+        lines += [f"-{1.0 + 2.0 * rng_w.random():.4f}\t<s> {w}"
+                  for w in vocab]
+        lines += ["", "\\end\\", ""]
+        fd, arpa = tempfile.mkstemp(suffix=".arpa")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines))
+        try:
+            lm = load_device_lm(arpa, labels)
+        finally:
+            os.unlink(arpa)
+        search_lm = jax.jit(lambda lp, ln: ctc_beam_search_device(
+            lp, ln, beam_width=width, lm=lm, space=labels.index(" "),
+            alpha=0.8, beta=1.0))
+        out = search_lm(log_probs, lengths)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = search_lm(log_probs, lengths)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        _emit("beam128_device_lm_audio_seconds_per_s",
+              batch * seconds * reps / dt, "audio-s/s", width=width)
+
     # native C++ backend on the same posteriors (host, per-utterance)
     try:
         from deepspeech_tpu.decoders.beam_native import (available,

@@ -25,8 +25,13 @@ Design (fixed-shape arrays, no Python control flow inside jit):
   which provably leaves every merged beam score unchanged.
 
 ``cutoff_top_n`` / ``cutoff_prob`` match ctcdecode's per-step candidate
-pruning (reference opts.py:10-13). Word-LM shallow fusion needs unbounded
-string state and stays on the host path (:class:`~.beam.BeamCTCDecoder`).
+pruning (reference opts.py:10-13). Word-LM shallow fusion runs ON DEVICE
+too (``lm=`` / ``lm_path=``): the n-gram tables and a char trie over the
+vocabulary live in HBM (:mod:`deepspeech_tpu.decoders.lm_device`), each
+beam carries (word-context ids, char-trie node) in the scan state, and the
+``alpha * log10 P(word|ctx) + beta`` bonus lands on space extensions —
+replacing the reference's host-side ctcdecode+KenLM scorer
+(reference decoder.py:95-99, opts.py:5-9) with zero host round-trips.
 """
 
 from __future__ import annotations
