@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-prob", default=0.4, type=float)
     p.add_argument("--noise-min", default=0.0, type=float)
     p.add_argument("--noise-max", default=0.5, type=float)
+    p.add_argument("--device-noise", action="store_true",
+                   help="mix the --noise-dir pool (+ gaussian) into the "
+                        "waveforms INSIDE the compiled train step "
+                        "(augment/noise_device.py, AddNoise semantics at "
+                        "--noise-prob). Pair with --aug-type 1/2 or "
+                        "aug-prob 0 to avoid host-side noise on top")
+    p.add_argument("--device-noise-limit", default=0.2, type=float,
+                   help="on-device mix strength a ~ U(0, limit) "
+                        "(reference audio_aug.py:82 limit)")
     p.add_argument("--aug-prob-8khz", default=0, type=float)
     p.add_argument("--aug-type", default=0, type=int, choices=[0, 1, 2, 3],
                    help="waveform aug pipeline: 0=all five transforms, "
@@ -338,6 +347,8 @@ def main(argv=None, observers=()) -> int:
         if is_leader and tp > 1 and not args.silent:
             print(f"mesh: data={n_devices // tp} x model={tp}", flush=True)
 
+    noise_extra = {}  # device-resident noise bank, filled below when enabled
+
     def to_device(batch):
         # always an *async* jax.device_put: callers start batch N+1's
         # transfer right after dispatching step N, so the H2D copy rides
@@ -347,13 +358,43 @@ def main(argv=None, observers=()) -> int:
         if world > 1:
             # hosts' bins can land on different bucket boundaries; agree on
             # shapes before assembling the global arrays
-            return local_batch_to_global(equalize_batch_padding(batch), mesh)
-        if mesh is not None:
-            return {k: jax.device_put(v, batch_sharding(mesh))
-                    for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+            out = local_batch_to_global(equalize_batch_padding(batch), mesh)
+        elif mesh is not None:
+            out = {k: jax.device_put(v, batch_sharding(mesh))
+                   for k, v in batch.items()}
+        else:
+            out = {k: jax.device_put(v) for k, v in batch.items()}
+        out.update(noise_extra)  # already device-placed (replicated)
+        return out
 
-    cfg = StepConfig(audio_conf=audio_conf, normalize=args.norm)
+    cfg = StepConfig(
+        audio_conf=audio_conf, normalize=args.norm,
+        device_noise_prob=(args.noise_prob
+                           if args.device_noise and args.noise_dir else 0.0),
+        device_noise_limit=args.device_noise_limit)
+    if cfg.device_noise_prob > 0:
+        # one-time upload of the noise pool; every train batch then carries
+        # the same replicated device buffers (no per-batch H2D traffic)
+        import glob as _glob
+
+        from deepspeech_tpu.augment.noise_device import build_noise_bank
+        from deepspeech_tpu.parallel.mesh import replicated
+        noise_paths = sorted(_glob.glob(args.noise_dir))
+        max_dur = max((float(d or 0) for _, _, d in train_dataset.ids),
+                      default=0.0) or 30.0
+        width = bucket.pad_to(int(max_dur * audio_conf.sample_rate)
+                              + bucket.reflect_tail, bucket.audio_step)
+        bank_np, bank_lens_np = build_noise_bank(
+            noise_paths, audio_conf.sample_rate, width,
+            pad=bucket.reflect_tail)
+        sh = replicated(mesh) if mesh is not None else None
+        put = (lambda a: jax.device_put(a, sh)) if sh is not None \
+            else jax.device_put
+        noise_extra = {"noise_bank": put(jnp.asarray(bank_np)),
+                       "noise_bank_lengths": put(jnp.asarray(bank_lens_np))}
+        if is_leader and not args.silent:
+            print(f"device noise bank: {len(noise_paths)} clips, "
+                  f"{bank_np.nbytes / 1e6:.1f} MB on device", flush=True)
     eval_cfg = StepConfig(audio_conf=test_conf, normalize=args.norm)
     train_step = make_train_step(model, tx, cfg)
     eval_step_fn = make_eval_step(model, eval_cfg)

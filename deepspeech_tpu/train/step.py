@@ -58,13 +58,18 @@ class StepConfig:
     from_audio: bool = True      # batch carries raw audio (device featurize)
     stft_method: str = "auto"    # pallas kernel on TPU, matmul elsewhere
     max_frame_jitter: bool = True  # reference data_loader_aug.py:213-214
+    # on-device additive noise (augment/noise_device.py; reference
+    # audio_aug.py:79-107 AddNoise semantics). Active when > 0 AND the
+    # batch carries a "noise_bank" — the loader/CLI uploads the pool once.
+    device_noise_prob: float = 0.0
+    device_noise_limit: float = 0.2
 
 
 def _featurize(batch, cfg: StepConfig, rng, train: bool):
     if cfg.from_audio:
-        jitter = aug_key = None
+        jitter = aug_key = noise_key = None
         if train and rng is not None:
-            k_jit, aug_key = jax.random.split(rng)
+            k_jit, aug_key, noise_key = jax.random.split(rng, 3)
             if cfg.max_frame_jitter:
                 jitter = jax.random.uniform(
                     k_jit, (batch["audio"].shape[0],), minval=-0.5, maxval=0.5)
@@ -80,6 +85,14 @@ def _featurize(batch, cfg: StepConfig, rng, train: bool):
             else:
                 audio = (audio.astype(jnp.float32)
                          * batch["audio_scale"][:, None])
+        if (cfg.device_noise_prob > 0 and noise_key is not None
+                and "noise_bank" in batch):
+            from deepspeech_tpu.augment.noise_device import add_noise_batch
+            audio = add_noise_batch(
+                audio, batch["audio_lengths"], noise_key,
+                batch["noise_bank"], batch["noise_bank_lengths"],
+                cfg.device_noise_prob, cfg.device_noise_limit,
+                reflect_pad=cfg.audio_conf.n_fft // 2)
         return featurize_batch(audio, batch["audio_lengths"],
                                cfg.audio_conf, cfg.normalize,
                                method=cfg.stft_method, jitter=jitter,
