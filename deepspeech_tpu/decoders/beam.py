@@ -184,18 +184,19 @@ class BeamCTCDecoder(Decoder):
 
         from deepspeech_tpu.decoders import beam_native
         from deepspeech_tpu.decoders.lm_binary import is_dslm
-        dslm = bool(lm_path) and is_dslm(lm_path)
+        from deepspeech_tpu.decoders.lm_kenlm import is_kenlm
+        binary_lm = bool(lm_path) and (is_dslm(lm_path) or is_kenlm(lm_path))
         if backend == "auto":
-            # the C++ scorer parses textual ARPA; DSLM binary LMs (mmap
-            # store, decoders/lm_binary.py) score through the python search
-            backend = ("native" if beam_native.available() and not dslm
+            # the C++ scorer parses textual ARPA; DSLM / KenLM binary LMs
+            # (mmap stores) score through the python search
+            backend = ("native" if beam_native.available() and not binary_lm
                        else "python")
         elif backend == "native" and not beam_native.available():
             raise RuntimeError("native beam decoder unavailable (no toolchain)")
-        elif backend == "native" and dslm:
+        elif backend == "native" and binary_lm:
             raise RuntimeError("the native beam backend scores textual ARPA "
-                               "only; use backend='auto'/'python' for DSLM "
-                               "binary LMs")
+                               "only; use backend='auto'/'python' for "
+                               "DSLM/KenLM binary LMs")
         self.backend = backend
         if backend == "native":
             self._search = beam_native.ctc_beam_search_native

@@ -70,12 +70,17 @@ class ArpaLM:
 def load_lm(path: str | None):
     """Textual ARPA(.gz) -> in-memory ArpaLM; DSLM binary (from
     decoders/lm_binary.py convert_arpa) -> mmap-backed BinaryLM with O(vocab)
-    resident memory — the KenLM-binary role (reference decoder.py:95-99)."""
+    resident memory; KenLM ``.binary`` (probing) -> mmap-backed query reader
+    (decoders/lm_kenlm.py) — so the reference's own LM artifacts load
+    directly (reference decoder.py:95-99, opts.py:5-7)."""
     if not path:
         return None
     from deepspeech_tpu.decoders.lm_binary import BinaryLM, is_dslm
+    from deepspeech_tpu.decoders.lm_kenlm import KenLMProbing, is_kenlm
     if is_dslm(path):
         return BinaryLM(path)
+    if is_kenlm(path):
+        return KenLMProbing(path)
     return ArpaLM(path)
 
 

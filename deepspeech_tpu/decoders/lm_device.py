@@ -131,6 +131,16 @@ def load_device_lm(path: str, labels: str) -> dict:
     (one-time cost; ship a .dslm for production, see lm_binary.main)."""
     from deepspeech_tpu.decoders.lm_binary import (BinaryLM, convert_arpa,
                                                    is_dslm)
+    from deepspeech_tpu.decoders.lm_kenlm import is_kenlm
+    if is_kenlm(path):
+        # probing binaries store one-way n-gram hashes — they can be
+        # QUERIED (host beam, decoders/lm_kenlm.py) but never expanded into
+        # the explicit trie the device search needs
+        raise ValueError(
+            f"{path}: KenLM probing binaries cannot feed the on-device "
+            "beam (hashed n-grams are not invertible); use the host beam "
+            "decoder, or convert the source ARPA with "
+            "python -m deepspeech_tpu.decoders.lm_binary")
     if is_dslm(path):
         blm = BinaryLM(path)
     else:
