@@ -308,6 +308,31 @@ def bench_beam():
     line = _emit("beam128_device_audio_seconds_per_s", dev_value,
                  "audio-s/s", width=width)
 
+    # mesh-sharded decode (>1 device: batch rides the data axis; parity vs
+    # single-device is pinned in tests/test_beam_device.py). The driver's
+    # tunnel exposes one chip, so this line appears on pods/CPU meshes only.
+    if len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from deepspeech_tpu.parallel.mesh import make_mesh
+        nd = len(jax.devices())
+        bpad = -(-batch // nd) * nd
+        lp_pad = jnp.pad(log_probs, ((0, bpad - batch), (0, 0), (0, 0)))
+        ln_pad = jnp.pad(lengths, (0, bpad - batch))
+        sh = NamedSharding(make_mesh(data=nd, model=1), P("data"))
+        lp_sh, ln_sh = jax.device_put(lp_pad, sh), jax.device_put(ln_pad, sh)
+        out = search(lp_sh, ln_sh)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = search(lp_sh, ln_sh)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        _emit("beam128_sharded_audio_seconds_per_s",
+              bpad * seconds * reps / dt, "audio-s/s", width=width,
+              devices=nd)
+
     # LM-fused variant: synthetic word LM resident on device, scored inside
     # the search (the on-chip ctcdecode+KenLM role; BASELINE config 5)
     if os.environ.get("BENCH_BEAM_LM", "1") != "0":

@@ -64,6 +64,22 @@ def main(argv=None) -> int:
     target_decoder = GreedyDecoder(labels.labels,
                                    blank_index=labels.blank_index)
 
+    # Multi-chip eval: shard every batch over the mesh's data axis. The
+    # eval step AND the on-device beam search both vmap over the batch, so
+    # sharded inputs make XLA run model forward + decode batch-parallel
+    # across all chips (the DP half of the reference's test.py:101-120
+    # batch eval, which torch never parallelized beyond one GPU).
+    from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
+    from deepspeech_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated)
+    n_dev = len(jax.devices())
+    mesh = (make_mesh(data=n_dev, model=1)
+            if n_dev > 1 and args.batch_size % n_dev == 0 else None)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        if getattr(decoder, "lm", None) is not None:
+            decoder.lm = jax.device_put(decoder.lm, replicated(mesh))
+
     dataset = AudioDataset(audio_conf, args.test_manifest, labels,
                            normalize=args.norm,
                            max_items=args.max_items or None)
@@ -91,6 +107,11 @@ def main(argv=None) -> int:
 
         if isinstance(decoder, GreedyDecoder):
             decoded, _ = decoder.decode_ids(logits_greedy, out_lens)
+        elif isinstance(decoder, DeviceBeamCTCDecoder):
+            # keep the posteriors on the mesh: the compiled search runs
+            # where the eval step left them (sharded decode on >1 device)
+            decoded, _ = decoder.decode(metrics["probs"],
+                                        metrics["out_lens"])
         else:
             decoded, _ = decoder.decode(probs, out_lens)
 
@@ -145,7 +166,10 @@ def main(argv=None) -> int:
         if b is None:
             return None
         paths = b.pop("paths")
-        return b, {k: jax.device_put(v) for k, v in b.items()}, paths
+        sh = batch_sharding(mesh) if mesh is not None else None
+        put = ((lambda v: jax.device_put(v, sh)) if sh is not None
+               else jax.device_put)
+        return b, {k: put(v) for k, v in b.items()}, paths
 
     pending = None
     nxt = pull()

@@ -132,6 +132,21 @@ def test_eval_cli_beam(trained, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_device_beam_sharded_over_mesh(trained, tmp_path):
+    """--batch-size divisible by the device count: test.py shards the eval
+    step AND the device-beam search over the mesh's data axis (parallel
+    decode; parity vs single-device is pinned in test_beam_device.py)."""
+    ckpt, manifest, _ = trained
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "8", "--num-workers", "0",
+        "--decoder", "device_beam", "--beam-width", "4",
+        "--report-file", str(tmp_path / "r.csv")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
 def test_eval_cli_device_beam_with_lm(trained, tmp_path):
     """--decoder device_beam --lm-path: LM-fused beam search fully on
     device through the batch-eval CLI (the on-chip twin of the reference's
