@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -427,24 +429,47 @@ def main(argv=None, observers=()) -> int:
     history = {k: list(package.get(k) or []) if package else []
                for k in _HIST_KEYS}
 
+    # Async checkpointing: device_get must run on the loop thread (the next
+    # step DONATES the state buffers, so the snapshot has to complete before
+    # that dispatch), but the npz serialization + multi-hundred-MB disk
+    # write + curriculum CSVs move to a single-worker thread — the loop
+    # resumes after the snapshot instead of stalling for the write
+    # (reference save sites train.py:701-727 block the epoch loop).
+    ckpt_writer = ThreadPoolExecutor(max_workers=1)  # 1 => writes stay ordered
+
     def save_package(path, epoch=None, iteration=None, avg_loss=None):
         if not is_leader:
             return
-        host_state = jax.device_get(state)
-        pkg = ckpt.serialize(meta, host_state, labels.labels,
-                             audio_conf.to_dict(), epoch=epoch,
-                             iteration=iteration, checkpoint=checkpoint_id,
-                             avg_loss=avg_loss, history=history)
-        ckpt.save(path, pkg)
-        train_dataset.save_curriculum(path + ".curriculum.csv")
-        # validation curriculum sidecars (reference save_validation_curriculums,
-        # train.py:515-532: every checkpoint gets val + trainval CER history)
-        val_dataset.save_curriculum(path + ".val.curriculum.csv")
+        host_state = jax.device_get(state)          # the snapshot
+        hist = {k: list(v) for k, v in history.items()}
+        snaps = [(path + ".curriculum.csv", train_dataset.curriculum.snapshot()),
+                 # validation curriculum sidecars (reference
+                 # save_validation_curriculums, train.py:515-532)
+                 (path + ".val.curriculum.csv",
+                  val_dataset.curriculum.snapshot())]
         if trainval_dataset is not None:
-            trainval_dataset.save_curriculum(path + ".trainval.curriculum.csv")
-        logger.log("checkpoint", path=path, epoch=epoch, iteration=iteration)
-        obs.emit("on_checkpoint", epoch or 0, iteration or 0, path)
-        say(f"  saved {path}")
+            snaps.append((path + ".trainval.curriculum.csv",
+                          trainval_dataset.curriculum.snapshot()))
+
+        def write():
+            try:
+                pkg = ckpt.serialize(meta, host_state, labels.labels,
+                                     audio_conf.to_dict(), epoch=epoch,
+                                     iteration=iteration,
+                                     checkpoint=checkpoint_id,
+                                     avg_loss=avg_loss, history=hist)
+                ckpt.save(path, pkg)
+                for p, store in snaps:
+                    store.save(p)
+                logger.log("checkpoint", path=path, epoch=epoch,
+                           iteration=iteration)
+                obs.emit("on_checkpoint", epoch or 0, iteration or 0, path)
+                say(f"  saved {path}")
+            except Exception as e:  # surface, never kill the writer thread
+                print(f"checkpoint write FAILED for {path}: {e}",
+                      file=sys.stderr, flush=True)
+
+        ckpt_writer.submit(write)
 
     def run_validation(epoch, tag="val"):
         # reference check_model_quality also feeds the val dataset's
@@ -488,8 +513,6 @@ def main(argv=None, observers=()) -> int:
     # done while the next one runs), and the string decode + edit distance +
     # curriculum update run on a worker thread. Curriculum state is only
     # consumed at epoch/checkpoint boundaries, where we drain the worker.
-    from concurrent.futures import ThreadPoolExecutor
-
     decode_pool = ThreadPoolExecutor(max_workers=1,
                                      thread_name_prefix="decode")
     decode_futures: list = []
@@ -692,6 +715,7 @@ def main(argv=None, observers=()) -> int:
     decode_pool.shutdown(wait=True)
     save_package(os.path.join(args.save_folder, "deepspeech_final.ckpt"),
                  epoch=args.epochs - 1, iteration=0)
+    ckpt_writer.shutdown(wait=True)  # flush queued checkpoint writes
     logger.close()
     return 0
 

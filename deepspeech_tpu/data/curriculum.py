@@ -86,6 +86,13 @@ class CurriculumStore:
             return fallback_text, 0.999
         return row["text"], row["cer"]
 
+    def snapshot(self) -> "CurriculumStore":
+        """Deep-copied rows — lets an async checkpoint writer persist a
+        consistent view while the train loop keeps updating this store."""
+        s = CurriculumStore()
+        s.rows = {k: dict(v) for k, v in self.rows.items()}
+        return s
+
     def save(self, path: str):
         """CSV sidecar (reference save_curriculum, data_loader_aug.py:499-505)."""
         with open(path, "w", newline="") as f:
