@@ -502,6 +502,139 @@ def bench_stream():
                  decoder=decoder)
 
 
+# ---------------------------------------------------------------------------
+# scaling — data-parallel efficiency: the REAL train CLI, 1 vs 2 processes
+# ---------------------------------------------------------------------------
+
+def bench_scaling():
+    """DP scaling-efficiency harness (BASELINE north star: >=90% at 2
+    hosts). Runs the actual CLI twice on a synthetic manifest with the SAME
+    global batch — one process vs two jax.distributed processes (one CPU
+    device each, the test_multihost.py topology) — and reports
+    efficiency = t_1proc / (2 * t_2proc): each process computes half the
+    rows per step, so ideal two-process epoch time is half.
+
+    Two measurements on this single-chip host (PERF.md "Scaling
+    methodology"):
+
+    * PRIMARY ``dp_scaling_efficiency_mesh``: 1 vs 2 VIRTUAL devices in one
+      process, same global batch, same total cores — the partitioned step's
+      collectives run intra-process (the CPU analogue of ICI), so the ratio
+      t_1dev / t_2dev isolates partitioning + collective math overhead
+      (ideal 1.0, target >= 0.9).
+    * SECONDARY ``dp_scaling_efficiency_2proc`` (BENCH_SCALING_MULTIPROC=1):
+      the real 2-process jax.distributed topology (test_multihost.py's).
+      On THIS host it is a transport-bound lower bound only — XLA:CPU
+      cross-process collectives pay per-op gRPC latency that TPU pods
+      (ICI/DCN collectives compiled into the step) do not have.
+
+    On a pod, run the same two train commands on separate hosts with
+    JAX_PLATFORMS unset: loop, sampler striding, and collective placement
+    are identical.
+    """
+    import re
+    import shutil
+    import socket
+    import subprocess
+    import tempfile
+
+    from scipy.io import wavfile
+
+    utts = _env_int("BENCH_SCALING_UTTS", 16)
+    seconds = float(os.environ.get("BENCH_SCALING_SECONDS", 1.0))
+    batch = _env_int("BENCH_SCALING_BATCH", 8)
+    hidden = _env_int("BENCH_SCALING_HIDDEN", 128)
+    layers = _env_int("BENCH_SCALING_LAYERS", 2)
+    epochs = _env_int("BENCH_SCALING_EPOCHS", 3)
+
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    try:
+        sr = 16000
+        rng = np.random.default_rng(0)
+        t = np.arange(int(sr * seconds)) / sr
+        rows = []
+        for i in range(utts):
+            y = (0.2 * np.sin(2 * np.pi * (200 + 15 * i) * t)
+                 + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+            wav = os.path.join(tmp, f"u{i}.wav")
+            txt = os.path.join(tmp, f"u{i}.txt")
+            wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+            with open(txt, "w") as f:
+                f.write("SCALING TEST UTTERANCE")
+            rows.append(f"{wav},{txt},{seconds:.2f}")
+        manifest = os.path.join(tmp, "train.csv")
+        with open(manifest, "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+        def epoch_time(out):
+            times = [float(x) for x in
+                     re.findall(r"epoch \d+ done in ([0-9.]+)s", out)]
+            assert len(times) >= 2, out[-2000:]
+            return min(times[1:])  # epoch 1+ are compile-warm
+
+        def base_cmd(tag):
+            return [sys.executable, os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "train.py"),
+                    "--train-manifest", manifest, "--val-manifest", manifest,
+                    "--batch-size", str(batch), "--hidden-size", str(hidden),
+                    "--hidden-layers", str(layers), "--epochs", str(epochs),
+                    "--num-workers", "0", "--no-shuffle",
+                    "--save-folder", os.path.join(tmp, f"ckpt{tag}"),
+                    "--log-dir", os.path.join(tmp, f"logs{tag}")]
+
+        def run_mesh(devices):
+            env = dict(
+                os.environ, JAX_PLATFORMS="cpu",
+                XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}")
+            p = subprocess.run(base_cmd(f"d{devices}") + ["--id",
+                                                          f"d{devices}"],
+                               env=env, capture_output=True, text=True,
+                               timeout=900)
+            assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+            return epoch_time(p.stdout)
+
+        # primary: strong scaling over the mesh, same cores, same global
+        # batch — 2 virtual devices split the batch and all-reduce grads
+        t1 = run_mesh(1)
+        t2 = run_mesh(2)
+        eff = t1 / t2  # same hardware both runs: ideal ratio is 1.0
+        line = _emit("dp_scaling_efficiency_mesh", round(eff, 4),
+                     "fraction", eff / 0.9, t_1dev_s=round(t1, 3),
+                     t_2dev_s=round(t2, 3), global_batch=batch,
+                     note="1 vs 2 virtual devices, one process; see "
+                          "PERF.md scaling methodology")
+
+        if os.environ.get("BENCH_SCALING_MULTIPROC"):
+            # secondary: the real 2-process topology; on this host the
+            # number is gRPC-latency-bound (see docstring) — a lower bound
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=1")
+            s = socket.socket()
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+            s.close()
+            procs = [subprocess.Popen(
+                base_cmd(f"p{r}") + ["--id", f"s2r{r}",
+                                     "--dist-url", f"127.0.0.1:{port}",
+                                     "--dist-rank", str(r),
+                                     "--dist-world-size", "2"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True) for r in range(2)]
+            outs = [p.communicate(timeout=900)[0] for p in procs]
+            for r, (p, o) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0, f"rank {r}:\n{o[-2000:]}"
+            tp = epoch_time(outs[0])
+            _emit("dp_scaling_efficiency_2proc", round(t1 / (2.0 * tp), 4),
+                  "fraction", None, t_1proc_s=round(t1, 3),
+                  t_2proc_s=round(tp, 3),
+                  note="cross-process CPU collectives are gRPC-latency-"
+                       "bound on this host; lower bound only")
+        return line
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 MODES = {
     "step": lambda: bench_step(),
     "loop": bench_loop,
@@ -510,6 +643,7 @@ MODES = {
     "bigru1600": lambda: bench_step(hidden=1600, tag="_bigru1600"),
     "stream": bench_stream,
     "selfcheck": bench_selfcheck,
+    "scaling": bench_scaling,
 }
 
 

@@ -158,3 +158,80 @@ def test_two_process_data_parallel_train(tiny_manifest, tmp_path):
     final = [re.findall(r"avg loss ([0-9.]+)", o) for o in outs]
     assert final[0], outs[0][-1500:]
     assert not final[1], "non-leader rank printed progress"
+
+
+@pytest.mark.slow
+def test_two_process_numerics_match_single_process(tiny_manifest, tmp_path):
+    """Same manifest, same seed, same GLOBAL batch: two-process training
+    must produce (numerically) the same final parameters as one process.
+    The rank-strided sampler splits each global bin across ranks, so the
+    assembled global batches hold the same utterances; f32 compute and
+    --norm none (the per-row max_frame jitter couples to row order, which
+    the single-host sampler's within-bin shuffle permutes) make the runs
+    comparable to float tolerance."""
+    def run(world, tag):
+        save = str(tmp_path / f"ck_{tag}")
+        outs = []
+        if world == 1:
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=1")
+            cmd = [sys.executable, os.path.join(REPO, "train.py"),
+                   "--train-manifest", tiny_manifest,
+                   "--val-manifest", tiny_manifest,
+                   "--batch-size", "4", "--hidden-size", "16",
+                   "--hidden-layers", "1", "--num-workers", "0",
+                   "--epochs", "2", "--no-shuffle", "--seed", "7",
+                   "--compute-dtype", "float32", "--norm", "none",
+                   "--save-folder", save, "--id", tag,
+                   "--log-dir", os.path.join(save, "logs")]
+            p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                               text=True, timeout=600)
+            assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+            outs.append(p.stdout)
+        else:
+            port = _free_port()
+            procs = []
+            for rank in range(world):
+                env = dict(os.environ, JAX_PLATFORMS="cpu",
+                           XLA_FLAGS="--xla_force_host_platform_device_count=1")
+                cmd = [sys.executable, os.path.join(REPO, "train.py"),
+                       "--train-manifest", tiny_manifest,
+                       "--val-manifest", tiny_manifest,
+                       "--batch-size", "4", "--hidden-size", "16",
+                       "--hidden-layers", "1", "--num-workers", "0",
+                       "--epochs", "2", "--no-shuffle", "--seed", "7",
+                       "--compute-dtype", "float32", "--norm", "none",
+                       "--save-folder", save, "--id", f"{tag}{rank}",
+                       "--log-dir", os.path.join(save, "logs"),
+                       "--dist-url", f"127.0.0.1:{port}",
+                       "--dist-rank", str(rank),
+                       "--dist-world-size", str(world)]
+                procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                              stdout=subprocess.PIPE,
+                                              stderr=subprocess.STDOUT,
+                                              text=True))
+            for rank, p in enumerate(procs):
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+                assert p.returncode == 0, f"rank {rank}:\n{out[-3000:]}"
+        from deepspeech_tpu.train import checkpoint as ckpt
+        pkg = ckpt.load(os.path.join(save, "deepspeech_final.ckpt"))
+        return pkg, outs[0]
+
+    pkg1, out1 = run(1, "single")
+    pkg2, out2 = run(2, "double")
+
+    import jax
+    leaves1 = jax.tree.leaves(pkg1["params"])
+    leaves2 = jax.tree.leaves(pkg2["params"])
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    # the reported per-epoch average losses agree too
+    import re
+    l1 = re.findall(r"avg loss ([0-9.]+)", out1)
+    l2 = re.findall(r"avg loss ([0-9.]+)", out2)
+    assert l1 and len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert float(a) == pytest.approx(float(b), rel=1e-3)
