@@ -22,6 +22,9 @@ Modes (``python bench.py --mode X`` or ``BENCH_MODE=X``):
                    per-chunk latency + real-time factor.
 * ``selfcheck``  — Pallas-vs-XLA equivalence of the CTC loss and RNN layer
                    on the CURRENT backend (the real chip under the driver).
+* ``scaling``    — data-parallel scaling efficiency: the real train CLI at
+                   the same global batch on 1 vs 2 mesh devices (strong
+                   scaling; PERF.md "Scaling methodology").
 * ``all``        — every mode, one JSON line each (feeds PERF.md).
 
 Each mode prints exactly one JSON line; ``all`` prints one per mode.
