@@ -84,7 +84,11 @@ def main(argv=None) -> int:
                       decoder="beam" if use_beam else "greedy",
                       beam_width=args.beam_width,
                       cutoff_top_n=args.cutoff_top_n,
-                      cutoff_prob=args.cutoff_prob)
+                      cutoff_prob=args.cutoff_prob,
+                      lm_path=(getattr(args, "lm_path", None)
+                               if use_beam else None),
+                      lm_alpha=getattr(args, "alpha", 0.8),
+                      lm_beta=getattr(args, "beta", 1.0))
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     pending = list(wavs)

@@ -58,7 +58,8 @@ def transcribe(audio_path, audio_conf, model, state, decoder, norm="max_frame",
 def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                          chunk_seconds, norm="max_frame", channel=-1,
                          echo=None, decoder="greedy", beam_width=16,
-                         cutoff_top_n=40, cutoff_prob=1.0, top_paths=1):
+                         cutoff_top_n=40, cutoff_prob=1.0, top_paths=1,
+                         lm_path=None, alpha=0.8, beta=1.0):
     """Chunked low-latency path (serve/streaming.py): feeds the wav through
     the stateful streaming runtime in ``chunk_seconds`` pieces, reporting
     each incremental greedy fragment via ``echo`` (e.g. stderr) and
@@ -84,7 +85,10 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                               else "greedy",
                               beam_width=beam_width,
                               cutoff_top_n=cutoff_top_n,
-                              cutoff_prob=cutoff_prob)
+                              cutoff_prob=cutoff_prob,
+                              lm_path=(lm_path if decoder in
+                                       ("beam", "device_beam") else None),
+                              lm_alpha=alpha, lm_beta=beta)
     step = chunk_frames * audio_conf.hop
     for pos in range(0, len(y), step):
         for frag in st.feed(y[pos:pos + step]):
@@ -150,6 +154,9 @@ def main(argv=None) -> int:
             args.audio_path, audio_conf, model, state, labels,
             args.chunk_seconds, norm=args.norm, channel=args.channel,
             echo=echo, decoder=args.decoder, beam_width=args.beam_width,
+            lm_path=getattr(args, "lm_path", None),
+            alpha=getattr(args, "alpha", 0.8),
+            beta=getattr(args, "beta", 1.0),
             cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
             top_paths=args.top_paths)
         print(file=sys.stderr)

@@ -271,13 +271,15 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
 # over the concatenated valid frames.
 # ---------------------------------------------------------------------------
 
-def beam_state_init(batch: int, beam_width: int, max_len: int):
-    """Fresh batched beam state: beam 0 = the empty prefix per lane."""
+def beam_state_init(batch: int, beam_width: int, max_len: int, lm=None):
+    """Fresh batched beam state: beam 0 = the empty prefix per lane. With
+    ``lm`` (device LM arrays) the per-beam word-context / char-trie carry is
+    appended, enabling LM-fused streaming decode."""
     k, l = beam_width, max_len
 
     def one(_):
         h0 = jnp.where(jnp.arange(k) == 0, 1, -(jnp.arange(k) + 2))
-        return (
+        st = (
             jnp.zeros((k, l), jnp.int32),          # pox (packed char+frame)
             jnp.zeros((k,), jnp.int32),            # lens
             jnp.full((k,), -1, jnp.int32),         # last
@@ -286,19 +288,27 @@ def beam_state_init(batch: int, beam_width: int, max_len: int):
             jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF),  # p_b
             jnp.full((k,), NEG_INF),               # p_nb
         )
+        if lm is not None:
+            from deepspeech_tpu.decoders.lm_device import lm_state_init
+            st = st + lm_state_init(lm, k)
+        return st
 
     return jax.vmap(one)(jnp.arange(batch))
 
 
-@partial(jax.jit, static_argnames=("blank", "cutoff_top_n", "cutoff_prob"))
+@partial(jax.jit, static_argnames=("blank", "cutoff_top_n", "cutoff_prob",
+                                   "space", "alpha", "beta"))
 def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
                       valid: jnp.ndarray, blank: int = 0,
-                      cutoff_top_n: int = 40, cutoff_prob: float = 1.0):
+                      cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                      lm: dict | None = None, space: int = -1,
+                      alpha: float = 0.0, beta: float = 0.0):
     """Advance a batched beam state by one chunk.
 
     logits: (B, T, C) raw logits (log-softmax applied here so it fuses);
     ts: (B, T) int32 global frame index per step (stamped into offsets);
     valid: (B, T) bool — False steps are no-ops (certain blank).
+    ``lm`` must match ``beam_state_init``'s (the state carries its shape).
     """
     if logits.shape[-1] > _PACK:
         raise ValueError(f"beam search supports up to {_PACK} classes")
@@ -307,21 +317,35 @@ def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
 
     def one(st, lp, t, v):
         step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
-                       cutoff_prob=cutoff_prob, max_len=max_len)
+                       cutoff_prob=cutoff_prob, max_len=max_len, lm=lm,
+                       space=space, alpha=alpha, beta=beta)
         st, _ = jax.lax.scan(step, st, (lp, t, v))
         return st
 
     return jax.vmap(one)(state, log_probs, ts.astype(jnp.int32), valid)
 
 
-@partial(jax.jit, static_argnames=("top_paths",))
-def beam_state_best(state, top_paths: int = 1):
+@partial(jax.jit, static_argnames=("top_paths", "space", "alpha", "beta"))
+def beam_state_best(state, top_paths: int = 1, lm: dict | None = None,
+                    space: int = -1, alpha: float = 0.0, beta: float = 0.0):
     """(prefixes (B,P,L), lens (B,P), offsets (B,P,L), scores (B,P)) of the
-    current best beams — callable mid-stream or at the end."""
+    current best beams — callable mid-stream or at the end. With ``lm`` the
+    pending partial word's completion bonus is applied to the ranking, like
+    the one-shot search's finalization (and the host beam.py:151-156)."""
 
     def one(st):
-        pox, lens, _, _, _, p_b, p_nb = st
+        pox, lens, p_b, p_nb = st[0], st[1], st[5], st[6]
         score = jnp.logaddexp(p_b, p_nb)
+        if lm is not None:
+            from deepspeech_tpu.decoders.lm_device import (lm_score_word,
+                                                           trie_word_id)
+            lm_ctx, lm_len, lm_trie = st[7], st[8], st[9]
+            wid = jax.vmap(lambda nd: trie_word_id(lm, nd))(lm_trie)
+            sc = jax.vmap(
+                lambda cx, cl, w: lm_score_word(lm, cx, cl, w))(
+                    lm_ctx, lm_len, wid)
+            score = score + jnp.where(lm_trie != 0,
+                                      alpha * sc * _LOG10 + beta, 0.0)
         order = jnp.argsort(-score)[:top_paths]
         prefixes, offsets = unpack_prefix(pox[order], lens[order])
         return prefixes, lens[order], offsets, score[order]

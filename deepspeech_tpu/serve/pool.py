@@ -49,13 +49,16 @@ class StreamPool:
                  slots: int = 8, frozen_norm=None,
                  decoder: str = "greedy", beam_width: int = 16,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 beam_max_len: int = 1000, collect_logits: bool = False):
+                 beam_max_len: int = 1000, collect_logits: bool = False,
+                 lm_path: str | None = None, lm_alpha: float = 0.8,
+                 lm_beta: float = 1.0):
         self._st = StreamingTranscriber(
             model, variables, labels, audio_conf, normalize=normalize,
             chunk_frames=chunk_frames, batch_size=slots,
             frozen_norm=frozen_norm, decoder=decoder, beam_width=beam_width,
             cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
-            beam_max_len=beam_max_len)
+            beam_max_len=beam_max_len, lm_path=lm_path, lm_alpha=lm_alpha,
+            lm_beta=lm_beta)
         self.slots = slots
         self.labels = labels
         g = self._st.geo
@@ -183,7 +186,8 @@ class StreamPool:
                 if st._beam_state is not None:
                     from deepspeech_tpu.decoders.beam_device import \
                         beam_state_init
-                    fresh = beam_state_init(1, st.beam_width, st.beam_max_len)
+                    fresh = beam_state_init(1, st.beam_width,
+                                            st.beam_max_len, lm=st.lm)
                     st._beam_state = tuple(
                         a.at[s].set(f[0]) for a, f in zip(st._beam_state,
                                                           fresh))
@@ -243,7 +247,9 @@ class StreamPool:
                 st._beam_state, logits,
                 jnp.asarray(np.clip(idx, -1, 2 ** 30).astype(np.int32)),
                 jnp.asarray(valid), blank=self.labels.blank_index,
-                cutoff_top_n=st.cutoff_top_n, cutoff_prob=st.cutoff_prob)
+                cutoff_top_n=st.cutoff_top_n, cutoff_prob=st.cutoff_prob,
+                lm=st.lm, space=st._lm_space, alpha=st.lm_alpha,
+                beta=st.lm_beta)
         logits = np.asarray(logits)
 
         frags = [""] * self.slots
@@ -293,7 +299,10 @@ class StreamPool:
         if self._done_beam[slot] is not None:
             return self._done_beam[slot]
         from deepspeech_tpu.decoders.beam_device import beam_state_best
-        prefixes, lens, _, _ = beam_state_best(self._st._beam_state, 1)
+        st = self._st
+        prefixes, lens, _, _ = beam_state_best(
+            st._beam_state, 1, lm=st.lm, space=st._lm_space,
+            alpha=st.lm_alpha, beta=st.lm_beta)
         n = int(np.asarray(lens)[slot, 0])
         ids = np.asarray(prefixes)[slot, 0, :n]
         return "".join(self.labels.labels[int(x)] for x in ids)

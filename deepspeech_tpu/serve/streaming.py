@@ -103,7 +103,8 @@ class StreamingTranscriber:
                  batch_size: int = 1, frozen_norm=None,
                  decoder: str = "greedy", beam_width: int = 16,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 beam_max_len: int = 1000):
+                 beam_max_len: int = 1000, lm_path: str | None = None,
+                 lm_alpha: float = 0.8, lm_beta: float = 1.0):
         if model.bidirectional:
             raise ValueError("streaming requires a unidirectional model "
                              "(lookahead head, reference model.py:329-333)")
@@ -140,6 +141,17 @@ class StreamingTranscriber:
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = float(cutoff_prob)
         self.beam_max_len = beam_max_len
+        # optional word-LM shallow fusion INSIDE the streaming beam
+        # (decoders/lm_device.py): live LM-fused decode, same math as the
+        # one-shot DeviceBeamCTCDecoder(lm_path=...)
+        self.lm = None
+        self.lm_alpha = float(lm_alpha)
+        self.lm_beta = float(lm_beta)
+        if lm_path and decoder == "beam":
+            from deepspeech_tpu.decoders.lm_device import load_device_lm
+            self.lm = load_device_lm(lm_path, labels.labels)
+        self._lm_space = (labels.labels.index(" ")
+                          if " " in labels.labels else -1)
         self.reset()
 
     # -- stream lifecycle --------------------------------------------------
@@ -182,7 +194,8 @@ class StreamingTranscriber:
             from deepspeech_tpu.decoders.beam_device import beam_state_init
             self._beam_state = beam_state_init(self.batch_size,
                                                self.beam_width,
-                                               self.beam_max_len)
+                                               self.beam_max_len,
+                                               lm=self.lm)
 
     # -- feeding -----------------------------------------------------------
 
@@ -252,8 +265,9 @@ class StreamingTranscriber:
             raise RuntimeError('built with decoder="greedy"; '
                                'pass decoder="beam"')
         from deepspeech_tpu.decoders.beam_device import beam_state_best
-        prefixes, lens, _, _ = beam_state_best(self._beam_state,
-                                               top_paths=top_paths)
+        prefixes, lens, _, _ = beam_state_best(
+            self._beam_state, top_paths=top_paths, lm=self.lm,
+            space=self._lm_space, alpha=self.lm_alpha, beta=self.lm_beta)
         prefixes, lens = np.asarray(prefixes), np.asarray(lens)
         chars = self.labels.labels
         return [["".join(chars[int(x)] for x in prefixes[b, p, : lens[b, p]])
@@ -317,7 +331,9 @@ class StreamingTranscriber:
                             .astype(np.int32)),
                 jnp.asarray(valid), blank=self.labels.blank_index,
                 cutoff_top_n=self.cutoff_top_n,
-                cutoff_prob=self.cutoff_prob)
+                cutoff_prob=self.cutoff_prob, lm=self.lm,
+                space=self._lm_space, alpha=self.lm_alpha,
+                beta=self.lm_beta)
         logits = np.asarray(logits)
         self._logits.append(logits)
         self._anchor_bases.append(anchor_base)

@@ -170,3 +170,53 @@ def test_streaming_beam_matches_batch_beam():
     st.feed(y)
     st.finish()
     assert st.beam_texts()[0][0] == batch_text
+
+
+def test_streaming_lm_beam_matches_batch_lm_beam(tmp_path):
+    """decoder="beam" + lm_path: live LM-fused streaming decode equals the
+    one-shot LM-fused device beam search exactly (same DSLM arrays, same
+    per-beam word-context carry; reference capability = ctcdecode+KenLM,
+    decoder.py:95-99, which has no streaming form at all)."""
+    from tests.test_beam import ARPA
+    arpa = ARPA.replace("AB", "HI").replace("BA", "ME")  # EN_LABELS words
+    p = tmp_path / "t.arpa"
+    p.write_text(arpa)
+
+    model, variables = _make_model(layers=1, hidden=32)
+    conf = AudioConf()
+    labels = Labels(EN_LABELS)
+    y = _audio(seconds=1.2, seed=33)
+    ref_logits, t_out = _batch_logits(model, variables, y, conf, "none")
+
+    from deepspeech_tpu.decoders.beam_device import ctc_beam_search_device
+    from deepspeech_tpu.decoders.lm_device import load_device_lm
+    lm = load_device_lm(str(p), EN_LABELS)
+    lp = jax.nn.log_softmax(jnp.asarray(ref_logits)[None], axis=-1)
+    prefixes, lens, _, scores = ctc_beam_search_device(
+        lp, jnp.asarray([t_out]), beam_width=8, blank=labels.blank_index,
+        lm=lm, space=EN_LABELS.index(" "), alpha=1.2, beta=0.4)
+    n = int(lens[0, 0])
+    batch_text = "".join(EN_LABELS[int(x)]
+                         for x in np.asarray(prefixes)[0, 0, :n])
+
+    st = StreamingTranscriber(model, variables, labels, conf,
+                              normalize="none", chunk_frames=32,
+                              decoder="beam", beam_width=8,
+                              lm_path=str(p), lm_alpha=1.2, lm_beta=0.4)
+    st.feed(y)
+    st.finish()
+    assert st.beam_texts()[0][0] == batch_text
+    # and the fused scores differ from the unfused ones (guards against the
+    # LM silently not being applied; this model emits few/no spaces, so the
+    # pending-partial completion bonus is the observable effect)
+    from deepspeech_tpu.decoders.beam_device import beam_state_best
+    st2 = StreamingTranscriber(model, variables, labels, conf,
+                               normalize="none", chunk_frames=32,
+                               decoder="beam", beam_width=8)
+    st2.feed(y)
+    st2.finish()
+    _, _, _, s_fused = beam_state_best(
+        st._beam_state, 4, lm=st.lm, space=st._lm_space,
+        alpha=st.lm_alpha, beta=st.lm_beta)
+    _, _, _, s_plain = beam_state_best(st2._beam_state, 4)
+    assert not np.allclose(np.asarray(s_fused), np.asarray(s_plain))
