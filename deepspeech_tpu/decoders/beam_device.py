@@ -101,14 +101,35 @@ def _prune_step(lp: jnp.ndarray, cutoff_top_n: int,
 
 def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
                cutoff_prob: float, max_len: int, lm=None, space: int = -1,
-               alpha: float = 0.0, beta: float = 0.0):
-    if lm is None:
+               alpha: float = 0.0, beta: float = 0.0, trace: bool = False):
+    """One search step. Two carry layouts share all the candidate/merge
+    math:
+
+    * ``trace=False`` (streaming continuation): prefixes+offsets ride the
+      carry as packed (K, L) rows — a resumable state, O(K·L) per step.
+    * ``trace=True`` (one-shot batch search): the carry holds only the K
+      per-beam scalars and each step EMITS a (parent, char, emit)
+      backpointer row; prefixes are reconstructed once after the scan
+      (``_backtrace``). This removes the dominant O(K·L) term from the
+      scan body — the width-128 wall after the O(K^2) merge (PERF.md).
+    """
+    if trace:
+        pox = None
+        if lm is None:
+            lens, last, h1, h2, p_b, p_nb = state
+        else:
+            (lens, last, h1, h2, p_b, p_nb,
+             lm_ctx, lm_len, lm_trie) = state
+        k = lens.shape[0]
+    elif lm is None:
         pox, lens, last, h1, h2, p_b, p_nb = state
+        k = pox.shape[0]
     else:
         (pox, lens, last, h1, h2, p_b, p_nb,
          lm_ctx, lm_len, lm_trie) = state
+        k = pox.shape[0]
     lp, t, t_valid = inputs
-    k, c = pox.shape[0], lp.shape[0]
+    c = lp.shape[0]
 
     # Padded steps decode a certain blank: every beam keeps its score.
     onehot_blank = jnp.where(jnp.arange(c) == blank, 0.0, NEG_INF)
@@ -201,11 +222,12 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     has_ext = match_ij.any(0)
     i_min = jnp.argmax(match_ij, axis=0)  # first matching parent per stay
     use_ext_off = has_ext & (i_min < jnp.arange(k))
-    pos_i = lens[i_min]
-    write_i = jnp.arange(max_len)[None, :] == pos_i[:, None]
-    pack_j = (t + 1) * _PACK + last_c  # the stay's own char, stamped now
-    off_from_ext = jnp.where(write_i, pack_j[:, None], pox[i_min])
-    stay_pox = jnp.where(use_ext_off[:, None], off_from_ext, pox)
+    if not trace:
+        pos_i = lens[i_min]
+        write_i = jnp.arange(max_len)[None, :] == pos_i[:, None]
+        pack_j = (t + 1) * _PACK + last_c  # the stay's own char, stamped now
+        off_from_ext = jnp.where(write_i, pack_j[:, None], pox[i_min])
+        stay_pox = jnp.where(use_ext_off[:, None], off_from_ext, pox)
 
     # --- select beams and rebuild prefix rows (layout: [stays | extends]) ---
     score = jnp.concatenate([stay_score, ext_score])
@@ -222,15 +244,32 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     h2_all = jnp.concatenate([h2, eh2.reshape(k * c)])
 
     pos = lens[parent]  # (K,)
-    write = is_ext[:, None] & (jnp.arange(max_len)[None, :] == pos[:, None])
-    base = jnp.where(is_ext[:, None], pox[parent], stay_pox[parent])
-    new_pox = jnp.where(write, ((t + 1) * _PACK + char)[:, None], base)
     new_lens = pos + is_ext.astype(lens.dtype)
     new_last = jnp.where(is_ext, char, last[parent])
 
+    ys = None
+    if trace:
+        # backpointer row: selected stays whose offsets the first-insert
+        # rule re-parents become (i_min, own last char, emit) — the chain
+        # through i_min reproduces both chars and stamped frames exactly
+        j_sel = jnp.minimum(idx, k - 1)
+        reparent = ~is_ext & use_ext_off[j_sel]
+        tr_parent = jnp.where(reparent, i_min[j_sel], parent)
+        tr_char = jnp.where(is_ext, char, last_c[j_sel])
+        tr_emit = (is_ext | reparent) & sel_ok
+        tr_parent = jnp.where(sel_ok, tr_parent,
+                              jnp.arange(k, dtype=jnp.int32))
+        ys = (tr_parent.astype(jnp.int32), tr_char.astype(jnp.int32),
+              tr_emit)
+    else:
+        write = is_ext[:, None] & (jnp.arange(max_len)[None, :]
+                                   == pos[:, None])
+        base = jnp.where(is_ext[:, None], pox[parent], stay_pox[parent])
+        new_pox = jnp.where(write, ((t + 1) * _PACK + char)[:, None], base)
+
     sent = -(jnp.arange(k, dtype=jnp.int32) + 2)
-    new_state = (
-        new_pox, new_lens,
+    new_state = (() if trace else (new_pox,)) + (
+        new_lens,
         jnp.where(sel_ok, new_last, -1),
         jnp.where(sel_ok, h1_all[idx], sent),
         jnp.where(sel_ok, h2_all[idx], sent),
@@ -259,7 +298,36 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
         new_trie = jnp.where(is_space_ext, 0,
                              jnp.where(is_ext, adv, trie_p))
         new_state = new_state + (new_ctx, new_clen, new_trie)
-    return new_state, None
+    return new_state, ys
+
+
+def _backtrace(parents, chars, emits, ts, lens_final, rows, l):
+    """Rebuild (prefix, offsets) rows from the per-step backpointer trace.
+
+    parents/chars/emits: (T, K); ts: (T,) frame stamps; rows: (P,) final
+    beam rows to walk. A reverse scan follows each row's parent chain —
+    every emitting step writes one (char, frame) at its position — then one
+    drop-mode scatter of the T collected writes lands them in (P, L)."""
+
+    def walk(row):
+        def body(carry, xs):
+            cur, pos = carry
+            par, ch, em, t = xs
+            e = em[cur]
+            p_new = pos - e.astype(jnp.int32)
+            out = (e, p_new, ch[cur], t)
+            return (par[cur], p_new), out
+
+        _, (ev, posv, chv, tv) = jax.lax.scan(
+            body, (row, lens_final[row]), (parents, chars, emits, ts),
+            reverse=True)
+        idx = jnp.where(ev, posv, l)
+        prefix = jnp.full((l,), -1, jnp.int32).at[idx].set(
+            chv, mode="drop")
+        offs = jnp.full((l,), -1, jnp.int32).at[idx].set(tv, mode="drop")
+        return prefix, offs
+
+    return jax.vmap(walk)(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +450,6 @@ def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
     l = t_max if max_len is None else min(max_len, t_max)
 
     def decode_one(lp_utt, length):
-        pox = jnp.zeros((k, l), jnp.int32)
         lens = jnp.zeros((k,), jnp.int32)
         last = jnp.full((k,), -1, jnp.int32)
         # beam 0 = the empty prefix; others start invalid w/ sentinel hashes
@@ -391,18 +458,22 @@ def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
         h2 = h0.astype(jnp.int32)
         p_b = jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)
         p_nb = jnp.full((k,), NEG_INF)
-        init = (pox, lens, last, h1, h2, p_b, p_nb)
+        init = (lens, last, h1, h2, p_b, p_nb)
         if lm is not None:
             from deepspeech_tpu.decoders.lm_device import lm_state_init
             init = init + lm_state_init(lm, k)
 
+        # backpointer mode: the scan carries only K-sized beam scalars and
+        # emits per-step (parent, char, emit) rows; prefixes/offsets are
+        # reconstructed once below (the O(K·L)-per-step carry was the
+        # width-128 cost after the O(K^2) merge, PERF.md)
         step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
                        cutoff_prob=cutoff_prob, max_len=l, lm=lm,
-                       space=space, alpha=alpha, beta=beta)
+                       space=space, alpha=alpha, beta=beta, trace=True)
         ts = jnp.arange(t_max, dtype=jnp.int32)
-        state, _ = jax.lax.scan(step, init, (lp_utt, ts, ts < length))
-        pox, lens = state[0], state[1]
-        p_b, p_nb = state[5], state[6]
+        state, trace = jax.lax.scan(step, init, (lp_utt, ts, ts < length))
+        lens = state[0]
+        p_b, p_nb = state[4], state[5]
 
         score = jnp.logaddexp(p_b, p_nb)
         if lm is not None:
@@ -410,7 +481,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
             # decoder's end-of-utterance bonus (beam.py:151-156)
             from deepspeech_tpu.decoders.lm_device import (lm_score_word,
                                                            trie_word_id)
-            lm_ctx, lm_len, lm_trie = state[7], state[8], state[9]
+            lm_ctx, lm_len, lm_trie = state[6], state[7], state[8]
             wid = jax.vmap(lambda nd: trie_word_id(lm, nd))(lm_trie)
             sc = jax.vmap(
                 lambda cx, cl, w: lm_score_word(lm, cx, cl, w))(
@@ -418,7 +489,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray, lengths: jnp.ndarray,
             score = score + jnp.where(lm_trie != 0,
                                       alpha * sc * _LOG10 + beta, 0.0)
         order = jnp.argsort(-score)[:top_paths]
-        prefixes, offsets = unpack_prefix(pox[order], lens[order])
+        prefixes, offsets = _backtrace(*trace, ts, lens, order, l)
         return (prefixes, lens[order], offsets, score[order])
 
     return jax.vmap(decode_one, in_axes=(0, 0))(log_probs, lengths)
