@@ -364,6 +364,29 @@ def beam_state_init(batch: int, beam_width: int, max_len: int, lm=None):
     return jax.vmap(one)(jnp.arange(batch))
 
 
+def beam_continue_impl(state, logits: jnp.ndarray, ts: jnp.ndarray,
+                       valid: jnp.ndarray, blank: int = 0,
+                       cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                       lm: dict | None = None, space: int = -1,
+                       alpha: float = 0.0, beta: float = 0.0):
+    """Unjitted body of :func:`ctc_beam_continue` — callable from inside a
+    larger jitted program (serve/streaming.py fuses it into the chunk step
+    so one tick is ONE device dispatch)."""
+    if logits.shape[-1] > _PACK:
+        raise ValueError(f"beam search supports up to {_PACK} classes")
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    max_len = state[0].shape[-1]
+
+    def one(st, lp, t, v):
+        step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
+                       cutoff_prob=cutoff_prob, max_len=max_len, lm=lm,
+                       space=space, alpha=alpha, beta=beta)
+        st, _ = jax.lax.scan(step, st, (lp, t, v))
+        return st
+
+    return jax.vmap(one)(state, log_probs, ts.astype(jnp.int32), valid)
+
+
 @partial(jax.jit, static_argnames=("blank", "cutoff_top_n", "cutoff_prob",
                                    "space", "alpha", "beta"))
 def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
@@ -378,19 +401,10 @@ def ctc_beam_continue(state, logits: jnp.ndarray, ts: jnp.ndarray,
     valid: (B, T) bool — False steps are no-ops (certain blank).
     ``lm`` must match ``beam_state_init``'s (the state carries its shape).
     """
-    if logits.shape[-1] > _PACK:
-        raise ValueError(f"beam search supports up to {_PACK} classes")
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    max_len = state[0].shape[-1]
-
-    def one(st, lp, t, v):
-        step = partial(_beam_step, blank=blank, cutoff_top_n=cutoff_top_n,
-                       cutoff_prob=cutoff_prob, max_len=max_len, lm=lm,
-                       space=space, alpha=alpha, beta=beta)
-        st, _ = jax.lax.scan(step, st, (lp, t, v))
-        return st
-
-    return jax.vmap(one)(state, log_probs, ts.astype(jnp.int32), valid)
+    return beam_continue_impl(state, logits, ts, valid, blank=blank,
+                              cutoff_top_n=cutoff_top_n,
+                              cutoff_prob=cutoff_prob, lm=lm, space=space,
+                              alpha=alpha, beta=beta)
 
 
 @partial(jax.jit, static_argnames=("top_paths", "space", "alpha", "beta"))

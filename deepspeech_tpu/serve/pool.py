@@ -221,35 +221,35 @@ class StreamPool:
                         [self._tail[s], np.zeros(A - take, np.float32)])
                     self._tail[s] = joined[-(pad + 1):]
 
-        # one fixed-shape device step for the whole pool
+        # one fixed-shape device step for the whole pool (with the beam
+        # continuation fused into the same dispatch when decoding beams)
         active_mask = [self._state[s] in (ACTIVE, CLOSING)
                        for s in range(self.slots)]
         t_frames = np.where(active_mask, self._t_frames, 0)
         t_out = np.where(active_mask, self._t_out, 0)
-        st._carry, logits = st._step(
-            st._carry, jnp.asarray(chunk),
-            jnp.asarray(np.minimum(t_frames, _INT_SENTINEL).astype(np.int32)),
-            jnp.asarray(np.minimum(t_out, _INT_SENTINEL).astype(np.int32)),
-            jnp.asarray(np.minimum(self._start, _INT_SENTINEL)
-                        .astype(np.int32)),
-            st.variables)
-        self._appended += g.chunk_frames
+        args = (st._carry, jnp.asarray(chunk),
+                jnp.asarray(np.minimum(t_frames, _INT_SENTINEL)
+                            .astype(np.int32)),
+                jnp.asarray(np.minimum(t_out, _INT_SENTINEL)
+                            .astype(np.int32)),
+                jnp.asarray(np.minimum(self._start, _INT_SENTINEL)
+                            .astype(np.int32)),
+                st.variables)
         anchor_base_global = self._conv_base - self._ctx
-        self._conv_base += g.emit
         if st._beam_state is not None:
-            from deepspeech_tpu.decoders.beam_device import ctc_beam_continue
             idx = (anchor_base_global
                    + np.arange(g.emit, dtype=np.int64)[None, :]
                    - (self._start[:, None] // 2))
             valid = (np.asarray(active_mask)[:, None]
                      & (idx >= 0) & (idx < t_out[:, None]))
-            st._beam_state = ctc_beam_continue(
-                st._beam_state, logits,
+            st._carry, logits, st._beam_state = st._step_beam(
+                *args, st._beam_state,
                 jnp.asarray(np.clip(idx, -1, 2 ** 30).astype(np.int32)),
-                jnp.asarray(valid), blank=self.labels.blank_index,
-                cutoff_top_n=st.cutoff_top_n, cutoff_prob=st.cutoff_prob,
-                lm=st.lm, space=st._lm_space, alpha=st.lm_alpha,
-                beta=st.lm_beta)
+                jnp.asarray(valid))
+        else:
+            st._carry, logits = st._step(*args)
+        self._appended += g.chunk_frames
+        self._conv_base += g.emit
         logits = np.asarray(logits)
 
         frags = [""] * self.slots

@@ -152,6 +152,31 @@ class StreamingTranscriber:
             self.lm = load_device_lm(lm_path, labels.labels)
         self._lm_space = (labels.labels.index(" ")
                           if " " in labels.labels else -1)
+        # fused chunk+beam step: the beam continuation rides the SAME jitted
+        # program as the model step, so a beam tick costs one device
+        # dispatch instead of two (the extra dispatch dominated beam-tick
+        # latency on high-RTT host links, PERF.md streaming section)
+        self._step_beam = None
+        if decoder == "beam":
+            blank = labels.blank_index
+
+            def _fused(carry, chunk, t_frames, t_out, start, variables,
+                       beam_state, beam_ts, beam_valid):
+                from deepspeech_tpu.decoders.beam_device import \
+                    beam_continue_impl
+                carry, logits = _chunk_step(
+                    carry, chunk, t_frames, t_out, start, variables,
+                    model=model, geo=self.geo, normalize=normalize,
+                    window=self._window, frozen=frozen_norm is not None)
+                beam_state = beam_continue_impl(
+                    beam_state, logits, beam_ts, beam_valid, blank=blank,
+                    cutoff_top_n=cutoff_top_n,
+                    cutoff_prob=float(cutoff_prob), lm=self.lm,
+                    space=self._lm_space, alpha=float(lm_alpha),
+                    beta=float(lm_beta))
+                return carry, logits, beam_state
+
+            self._step_beam = jax.jit(_fused)
         self.reset()
 
     # -- stream lifecycle --------------------------------------------------
@@ -310,30 +335,27 @@ class StreamingTranscriber:
             frags = [a + b for a, b in zip(frags, self._run_chunk(chunk))]
 
     def _run_chunk(self, chunk: np.ndarray) -> list[str]:
-        self._carry, logits = self._step(
-            self._carry, jnp.asarray(chunk),
-            jnp.asarray(np.minimum(self._t_frames, _INT_SENTINEL)
-                        .astype(np.int32)),
-            jnp.asarray(np.minimum(self._t_out, _INT_SENTINEL)
-                        .astype(np.int32)),
-            jnp.zeros(self.batch_size, jnp.int32),  # lockstep: streams at 0
-            self.variables)
         g = self.geo
         anchor_base = self._conv_base - self.model.context
-        self._conv_base += g.emit
+        args = (self._carry, jnp.asarray(chunk),
+                jnp.asarray(np.minimum(self._t_frames, _INT_SENTINEL)
+                            .astype(np.int32)),
+                jnp.asarray(np.minimum(self._t_out, _INT_SENTINEL)
+                            .astype(np.int32)),
+                jnp.zeros(self.batch_size, jnp.int32),  # lockstep: at 0
+                self.variables)
         if self._beam_state is not None:
-            from deepspeech_tpu.decoders.beam_device import ctc_beam_continue
+            # one fused dispatch: model chunk step + beam continuation
             idx = anchor_base + np.arange(g.emit, dtype=np.int64)[None, :]
             valid = (idx >= 0) & (idx < self._t_out[:, None])
-            self._beam_state = ctc_beam_continue(
-                self._beam_state, logits,
+            self._carry, logits, self._beam_state = self._step_beam(
+                *args, self._beam_state,
                 jnp.asarray(np.broadcast_to(idx, valid.shape)
                             .astype(np.int32)),
-                jnp.asarray(valid), blank=self.labels.blank_index,
-                cutoff_top_n=self.cutoff_top_n,
-                cutoff_prob=self.cutoff_prob, lm=self.lm,
-                space=self._lm_space, alpha=self.lm_alpha,
-                beta=self.lm_beta)
+                jnp.asarray(valid))
+        else:
+            self._carry, logits = self._step(*args)
+        self._conv_base += g.emit
         logits = np.asarray(logits)
         self._logits.append(logits)
         self._anchor_bases.append(anchor_base)
