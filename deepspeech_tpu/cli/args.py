@@ -35,7 +35,8 @@ def add_inference_args(parser: argparse.ArgumentParser):
     parser.add_argument("--decoder", default="greedy",
                         choices=["greedy", "beam", "device_beam"],
                         help="Decoder to use (device_beam = jit-compiled "
-                             "on-accelerator beam search, no LM)")
+                             "on-accelerator beam search; with --lm-path "
+                             "the n-gram LM is fused ON DEVICE too)")
     parser.add_argument("--continue-from", "--model-path",
                         dest="continue_from", required=True,
                         help="Path to model checkpoint")

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL output path ('-' = stdout)")
     p.add_argument("--max-items", default=0, type=int)
     # --decoder comes from add_inference_args; beam/device_beam both select
-    # the streaming prefix beam search (no LM fusion in streaming)
+    # the streaming prefix beam search, LM-fused when --lm-path is given
     from deepspeech_tpu.cli.args import add_decoder_args
     add_decoder_args(p)
     return p

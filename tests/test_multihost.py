@@ -235,3 +235,37 @@ def test_two_process_numerics_match_single_process(tiny_manifest, tmp_path):
     assert l1 and len(l1) == len(l2)
     for a, b in zip(l1, l2):
         assert float(a) == pytest.approx(float(b), rel=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_train_with_skewed_buckets(varied_manifest, tmp_path):
+    """Durations spanning several 1-s bucket boundaries: rank-strided bins
+    land on DIFFERENT static pad shapes per host, so every step exercises
+    equalize_batch_padding's cross-host shape agreement inside the real
+    train CLI (not just the eval driver)."""
+    port = _free_port()
+    save = str(tmp_path / "skew")
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        cmd = [sys.executable, os.path.join(REPO, "train.py"),
+               "--train-manifest", varied_manifest,
+               "--val-manifest", varied_manifest,
+               "--batch-size", "4", "--hidden-size", "16",
+               "--hidden-layers", "1", "--num-workers", "0",
+               "--epochs", "1", "--no-shuffle",
+               "--save-folder", save, "--id", f"skew{rank}",
+               "--log-dir", os.path.join(save, "logs"),
+               "--dist-url", f"127.0.0.1:{port}",
+               "--dist-rank", str(rank), "--dist-world-size", "2"]
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}:\n{o[-3000:]}"
+    import re
+    losses = re.findall(r"avg loss ([0-9.]+)", outs[0])
+    assert losses and all(np.isfinite(float(x)) for x in losses)
+    assert os.path.exists(os.path.join(save, "deepspeech_final.ckpt"))
