@@ -84,6 +84,11 @@ def add_noise_batch(audio: jnp.ndarray, audio_lengths: jnp.ndarray,
     """
     b, s = audio.shape
     n_clips, s2 = bank.shape
+    if s2 < s:
+        raise ValueError(
+            f"noise bank rows ({s2} samples) are narrower than the batch "
+            f"({s}); build the bank with width >= the longest bucket "
+            "(build_noise_bank width covers 2x the longest utterance)")
     pos_cap = s2 - s
     valid = (jnp.arange(s)[None, :]
              < audio_lengths[:, None]).astype(audio.dtype)
