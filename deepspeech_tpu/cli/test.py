@@ -98,12 +98,19 @@ def main(argv=None) -> int:
     def process(metrics, batch, paths):
         nonlocal total_wer, total_cer, total_wer_ref, total_cer_ref
         nonlocal utt_wer_sum, utt_cer_sum, n_utts
-        probs = np.asarray(metrics["probs"])
         logits_greedy = np.asarray(metrics["greedy"])
         out_lens = np.asarray(metrics["out_lens"])
         targets = np.asarray(batch["targets"])
         target_lengths = np.asarray(batch["target_lengths"])
         valid = np.asarray(batch["valid"])
+        # the full (B, T, C) posterior tensor comes to host ONLY when a
+        # consumer needs it (host beam decode or --output-path dumps) — the
+        # greedy/device_beam paths otherwise pay a pointless D2H copy of
+        # the largest array every batch
+        probs = None
+        if args.output_path or not isinstance(
+                decoder, (GreedyDecoder, DeviceBeamCTCDecoder)):
+            probs = np.asarray(metrics["probs"])
 
         if isinstance(decoder, GreedyDecoder):
             decoded, _ = decoder.decode_ids(logits_greedy, out_lens)
@@ -171,13 +178,17 @@ def main(argv=None) -> int:
                else jax.device_put)
         return b, {k: put(v) for k, v in b.items()}, paths
 
+    need_probs = bool(args.output_path) or not isinstance(
+        decoder, (GreedyDecoder, DeviceBeamCTCDecoder))
     pending = None
     nxt = pull()
     while nxt is not None:
         batch, dev_batch, paths = nxt
         metrics = eval_step(state, dev_batch)
         nxt = pull()
-        for v in metrics.values():
+        for kk, v in metrics.items():
+            if kk == "probs" and not need_probs:
+                continue  # nothing reads it on host: skip the biggest copy
             if hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
         if pending is not None:

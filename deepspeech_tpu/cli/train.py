@@ -436,6 +436,7 @@ def main(argv=None, observers=()) -> int:
     # resumes after the snapshot instead of stalling for the write
     # (reference save sites train.py:701-727 block the epoch loop).
     ckpt_writer = ThreadPoolExecutor(max_workers=1)  # 1 => writes stay ordered
+    ckpt_errors: list = []  # async write failures -> nonzero exit at the end
 
     def save_package(path, epoch=None, iteration=None, avg_loss=None):
         if not is_leader:
@@ -466,6 +467,7 @@ def main(argv=None, observers=()) -> int:
                 obs.emit("on_checkpoint", epoch or 0, iteration or 0, path)
                 say(f"  saved {path}")
             except Exception as e:  # surface, never kill the writer thread
+                ckpt_errors.append((path, e))
                 print(f"checkpoint write FAILED for {path}: {e}",
                       file=sys.stderr, flush=True)
 
@@ -717,6 +719,13 @@ def main(argv=None, observers=()) -> int:
                  epoch=args.epochs - 1, iteration=0)
     ckpt_writer.shutdown(wait=True)  # flush queued checkpoint writes
     logger.close()
+    if ckpt_errors:
+        # the synchronous saver would have crashed the run; the async one
+        # must not turn a lost checkpoint into a silent success
+        print(f"{len(ckpt_errors)} checkpoint write(s) FAILED, e.g. "
+              f"{ckpt_errors[0][0]}: {ckpt_errors[0][1]}",
+              file=sys.stderr, flush=True)
+        return 1
     return 0
 
 
