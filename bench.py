@@ -25,6 +25,8 @@ Modes (``python bench.py --mode X`` or ``BENCH_MODE=X``):
 * ``scaling``    — data-parallel scaling efficiency: the real train CLI at
                    the same global batch on 1 vs 2 mesh devices (strong
                    scaling; PERF.md "Scaling methodology").
+* ``convergence``— overfit two synthetic utterances to exact greedy decode
+                   on the current backend (learning-progress smoke).
 * ``all``        — every mode, one JSON line each (feeds PERF.md).
 
 Each mode prints exactly one JSON line; ``all`` prints one per mode.
@@ -506,6 +508,78 @@ def bench_stream():
 
 
 # ---------------------------------------------------------------------------
+# convergence — learning-progress smoke on the CURRENT backend
+# ---------------------------------------------------------------------------
+
+def bench_convergence():
+    """Overfit two synthetic utterances through the full device pipeline
+    (featurize -> DS2 -> CTC -> backward -> update -> greedy decode) ON THE
+    REAL CHIP and report exact-decode success + the loss-reduction factor.
+    The compressed form of BASELINE's quality north star (its LibriSpeech
+    WER check needs a corpus this offline environment cannot download)."""
+    import optax
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.decoders import GreedyDecoder
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.train import TrainState
+    from deepspeech_tpu.train.step import (StepConfig, make_eval_step,
+                                           make_train_step)
+
+    labels = "_'ABCDEFGHIJKLMNOPQRSTUVWXYZ2 "
+    rng = np.random.default_rng(0)
+    sr, seconds = 16000, 0.6
+    texts = ["ABC", "CBA"]
+    patterns = [[440, 880, 660], [990, 550, 330]]
+    t = np.arange(int(sr * seconds)) / sr
+    waves = []
+    for pattern in patterns:
+        y = np.zeros_like(t, dtype=np.float32)
+        for i, f in enumerate(pattern):
+            seg = slice(i * len(t) // 3, (i + 1) * len(t) // 3)
+            y[seg] = 0.3 * np.sin(2 * np.pi * f * t[seg])
+        waves.append((y + 0.01 * rng.standard_normal(len(t))
+                      ).astype(np.float32))
+    cid = {c: i for i, c in enumerate(labels)}
+    tgt = np.asarray([[cid[c] for c in s] for s in texts], np.int32)
+    batch = {
+        "audio": jnp.asarray(np.stack(waves)),
+        "audio_lengths": jnp.asarray([len(w) for w in waves], jnp.int32),
+        "targets": jnp.asarray(tgt),
+        "target_lengths": jnp.asarray([3, 3], jnp.int32),
+    }
+    model = DeepSpeech2(num_classes=len(labels), hidden_size=64,
+                        hidden_layers=1, cell="gru", bidirectional=True)
+    cfg = StepConfig(audio_conf=AudioConf(), normalize="mean",
+                     max_frame_jitter=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 161, 51)),
+                           jnp.asarray([51]), False)
+    tx = optax.adam(3e-3)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    key = jax.random.PRNGKey(0)
+    steps = _env_int("BENCH_CONVERGENCE_STEPS", 250)
+    first_loss = None
+    m = None
+    for i in range(steps):
+        state, m = train_step(state, batch, jax.random.fold_in(key, i))
+        if i == 0:
+            first_loss = float(m["loss"])
+    final_loss = float(m["loss"])
+    ev = eval_step(state, batch)
+    dec = GreedyDecoder(labels)
+    hyps, _ = dec.decode_ids(np.asarray(ev["greedy"]),
+                             np.asarray(ev["out_lens"]))
+    exact = [h[0] for h in hyps] == texts
+    return _emit("convergence_exact_decode", 1.0 if exact else 0.0, "pass",
+                 1.0 if exact else 0.0, first_loss=round(first_loss, 3),
+                 final_loss=round(final_loss, 4), steps=steps,
+                 decoded=[h[0] for h in hyps])
+
+
+# ---------------------------------------------------------------------------
 # scaling — data-parallel efficiency: the REAL train CLI, 1 vs 2 processes
 # ---------------------------------------------------------------------------
 
@@ -647,6 +721,7 @@ MODES = {
     "stream": bench_stream,
     "selfcheck": bench_selfcheck,
     "scaling": bench_scaling,
+    "convergence": bench_convergence,
 }
 
 

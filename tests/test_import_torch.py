@@ -184,3 +184,74 @@ def test_import_cnn_variants_forward_parity(rnn_type, bidirectional, kw):
     got = np.asarray(logits)[0, : int(out_lens[0])]
     assert got.shape == ref_logits.shape, (got.shape, ref_logits.shape)
     np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_import_unidirectional_then_stream(tmp_path):
+    """A reference-format UNIDIRECTIONAL checkpoint (lookahead head,
+    reference model.py:329-333) imports and then drives the streaming
+    runtime, whose chunked logits match the imported model's batch forward
+    — the import -> serve integration path end to end."""
+    hidden, layers, ctx = 16, 1, 20
+    torch.manual_seed(11)
+    sd = {}
+
+    def put_bn(prefix, n):
+        sd[prefix + "weight"] = torch.rand(n) + 0.5
+        sd[prefix + "bias"] = torch.randn(n) * 0.1
+        sd[prefix + "running_mean"] = torch.randn(n) * 0.1
+        sd[prefix + "running_var"] = torch.rand(n) + 0.5
+
+    sd["conv.seq_module.0.weight"] = torch.randn(32, 1, 41, 11) * 0.05
+    sd["conv.seq_module.0.bias"] = torch.randn(32) * 0.1
+    put_bn("conv.seq_module.1.", 32)
+    sd["conv.seq_module.3.weight"] = torch.randn(32, 32, 21, 11) * 0.02
+    sd["conv.seq_module.3.bias"] = torch.randn(32) * 0.1
+    put_bn("conv.seq_module.4.", 32)
+    rnn_in = 32 * 41
+    for name, shape in (("weight_ih_l0", (3 * hidden, rnn_in)),
+                        ("weight_hh_l0", (3 * hidden, hidden)),
+                        ("bias_ih_l0", (3 * hidden,)),
+                        ("bias_hh_l0", (3 * hidden,))):
+        sd[f"rnns.0.rnn.{name}"] = torch.randn(*shape) * 0.05
+    sd["lookahead.0.weight"] = torch.randn(hidden, ctx + 1) * 0.1
+    put_bn("fc.0.module.0.", hidden)
+    sd["fc.0.module.1.weight"] = torch.randn(len(LABELS), hidden) * 0.1
+
+    tpkg = {"version": "0.0.1", "hidden_size": hidden,
+            "hidden_layers": layers, "rnn_type": "gru",
+            "audio_conf": {"sample_rate": 16000, "window_size": 0.02},
+            "labels": LABELS, "state_dict": sd, "bnm": 0.1,
+            "bidirectional": False, "dropout": 0, "cnn_width": 0}
+    tpath = tmp_path / "uni.pth"
+    torch.save(tpkg, str(tpath))
+
+    from deepspeech_tpu.cli.import_torch import main as import_main
+    out = str(tmp_path / "uni.ckpt")
+    assert import_main([str(tpath), out]) == 0
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.audio.features import featurize_batch
+    from deepspeech_tpu.cli.common import load_inference_model
+    from deepspeech_tpu.serve import StreamingTranscriber
+    from deepspeech_tpu.text import Labels
+    model, state, labels, audio_conf, _ = load_inference_model(out)
+    assert not model.bidirectional
+
+    rng = np.random.default_rng(3)
+    n = int(16000 * 1.1)
+    y = (0.3 * np.sin(2 * np.pi * 350 * np.arange(n) / 16000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    conf = AudioConf()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    spect, fl = featurize_batch(jnp.asarray(y)[None], jnp.asarray([n]),
+                                conf, normalize="none")
+    logits, _, out_lens = model.apply(variables, spect, fl, False)
+    ref = np.asarray(logits)[0, : int(out_lens[0])]
+
+    st = StreamingTranscriber(model, variables, labels, conf,
+                              normalize="none", chunk_frames=32)
+    st.feed(y)
+    st.finish()
+    got = st.collected_logits()[0]
+    t = min(len(ref), len(got))
+    np.testing.assert_allclose(got[:t], ref[:t], rtol=2e-3, atol=2e-3)
