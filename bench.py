@@ -212,11 +212,14 @@ def bench_loop():
         # epoch 0 warms every compile (SortaGrad epoch); epoch 1 is timed.
         # SpecAugment on device (BASELINE config 2's aug), curriculum decode
         # always on (it is unconditional in the loop).
+        wire = os.environ.get("BENCH_WIRE_DTYPE", "int16")
+        workers = _env_int("BENCH_LOOP_WORKERS", 8)
         rc = train_cli.main([
             "--train-manifest", manifest, "--val-manifest", val_manifest,
             "--batch-size", str(batch_size), "--hidden-size", str(hidden),
             "--hidden-layers", str(layers), "--epochs", "2",
-            "--num-workers", "8", "--aug-prob-spect", "0.3",
+            "--num-workers", str(workers), "--aug-prob-spect", "0.3",
+            "--wire-dtype", wire,
             "--save-folder", os.path.join(tmp, "ckpt"),
             "--log-dir", os.path.join(tmp, "logs"),
             "--silent", "--id", "bench-loop"], observers=[timer])
@@ -227,7 +230,7 @@ def bench_loop():
         value = audio_seconds / dt / n_chips
         return _emit("train_loop_audio_seconds_per_s_per_chip", value,
                      "audio-s/s/chip", hidden=hidden, layers=layers,
-                     bins=bins)
+                     bins=bins, wire=wire)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
