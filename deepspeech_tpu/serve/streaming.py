@@ -105,6 +105,11 @@ class StreamingTranscriber:
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
                  beam_max_len: int = 1000, lm_path: str | None = None,
                  lm_alpha: float = 0.8, lm_beta: float = 1.0):
+        if getattr(model, "bidirectional", None) is None:
+            raise ValueError(
+                f"streaming requires the DS2 recurrent model; "
+                f"{type(model).__name__} (a CNN-family acoustic model) has "
+                "no chunkable recurrent state — use batch transcription")
         if model.bidirectional:
             raise ValueError("streaming requires a unidirectional model "
                              "(lookahead head, reference model.py:329-333)")
