@@ -77,7 +77,10 @@ def main(argv=None) -> int:
             if n_dev > 1 and args.batch_size % n_dev == 0 else None)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
-        if getattr(decoder, "lm", None) is not None:
+        if (isinstance(decoder, DeviceBeamCTCDecoder)
+                and decoder.lm is not None):
+            # host decoders carry host LM objects — only the device LM's
+            # array pytree belongs on the mesh
             decoder.lm = jax.device_put(decoder.lm, replicated(mesh))
 
     dataset = AudioDataset(audio_conf, args.test_manifest, labels,
@@ -89,6 +92,8 @@ def main(argv=None) -> int:
     eval_step = make_eval_step(
         model, StepConfig(audio_conf=audio_conf, normalize=args.norm))
 
+    need_probs = bool(args.output_path) or not isinstance(
+        decoder, (GreedyDecoder, DeviceBeamCTCDecoder))
     report_rows = []
     total_wer = total_cer = total_wer_ref = total_cer_ref = 0.0
     utt_wer_sum = utt_cer_sum = 0.0
@@ -106,11 +111,9 @@ def main(argv=None) -> int:
         # the full (B, T, C) posterior tensor comes to host ONLY when a
         # consumer needs it (host beam decode or --output-path dumps) — the
         # greedy/device_beam paths otherwise pay a pointless D2H copy of
-        # the largest array every batch
-        probs = None
-        if args.output_path or not isinstance(
-                decoder, (GreedyDecoder, DeviceBeamCTCDecoder)):
-            probs = np.asarray(metrics["probs"])
+        # the largest array every batch (same flag gates the async
+        # prefetch below)
+        probs = np.asarray(metrics["probs"]) if need_probs else None
 
         if isinstance(decoder, GreedyDecoder):
             decoded, _ = decoder.decode_ids(logits_greedy, out_lens)
@@ -178,8 +181,6 @@ def main(argv=None) -> int:
                else jax.device_put)
         return b, {k: put(v) for k, v in b.items()}, paths
 
-    need_probs = bool(args.output_path) or not isinstance(
-        decoder, (GreedyDecoder, DeviceBeamCTCDecoder))
     pending = None
     nxt = pull()
     while nxt is not None:

@@ -437,10 +437,21 @@ def main(argv=None, observers=()) -> int:
     # (reference save sites train.py:701-727 block the epoch loop).
     ckpt_writer = ThreadPoolExecutor(max_workers=1)  # 1 => writes stay ordered
     ckpt_errors: list = []  # async write failures -> nonzero exit at the end
+    ckpt_done: list = []    # completed writes; drained on the MAIN thread
+    # (logger/observers/stdout are single-threaded objects — the worker only
+    # touches files and these two GIL-atomic lists)
+
+    def drain_ckpt_events():
+        while ckpt_done:
+            path_, ep_, it_ = ckpt_done.pop(0)
+            logger.log("checkpoint", path=path_, epoch=ep_, iteration=it_)
+            obs.emit("on_checkpoint", ep_ or 0, it_ or 0, path_)
+            say(f"  saved {path_}")
 
     def save_package(path, epoch=None, iteration=None, avg_loss=None):
         if not is_leader:
             return
+        drain_ckpt_events()  # report earlier completions from this thread
         host_state = jax.device_get(state)          # the snapshot
         hist = {k: list(v) for k, v in history.items()}
         snaps = [(path + ".curriculum.csv", train_dataset.curriculum.snapshot()),
@@ -462,10 +473,7 @@ def main(argv=None, observers=()) -> int:
                 ckpt.save(path, pkg)
                 for p, store in snaps:
                     store.save(p)
-                logger.log("checkpoint", path=path, epoch=epoch,
-                           iteration=iteration)
-                obs.emit("on_checkpoint", epoch or 0, iteration or 0, path)
-                say(f"  saved {path}")
+                ckpt_done.append((path, epoch, iteration))
             except Exception as e:  # surface, never kill the writer thread
                 ckpt_errors.append((path, e))
                 print(f"checkpoint write FAILED for {path}: {e}",
@@ -604,6 +612,7 @@ def main(argv=None, observers=()) -> int:
             obs.emit("on_batch_end", epoch, pit, loss=loss)
             watch.mark_batch()
             if pit % 10 == 0:
+                drain_ckpt_events()
                 say(f"epoch {epoch + 1} iter {pit + 1}/{len(loader)} "
                     f"loss {loss:.3f} (avg {loss_meter.avg:.3f}) "
                     f"wer {100 * last_wer[0]:.1f} "
@@ -718,6 +727,7 @@ def main(argv=None, observers=()) -> int:
     save_package(os.path.join(args.save_folder, "deepspeech_final.ckpt"),
                  epoch=args.epochs - 1, iteration=0)
     ckpt_writer.shutdown(wait=True)  # flush queued checkpoint writes
+    drain_ckpt_events()
     logger.close()
     if ckpt_errors:
         # the synchronous saver would have crashed the run; the async one

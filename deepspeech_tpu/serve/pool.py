@@ -245,7 +245,7 @@ class StreamPool:
             st._carry, logits, st._beam_state = st._step_beam(
                 *args, st._beam_state,
                 jnp.asarray(np.clip(idx, -1, 2 ** 30).astype(np.int32)),
-                jnp.asarray(valid))
+                jnp.asarray(valid), st.lm)
         else:
             st._carry, logits = st._step(*args)
         self._appended += g.chunk_frames

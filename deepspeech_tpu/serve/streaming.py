@@ -165,8 +165,12 @@ class StreamingTranscriber:
         if decoder == "beam":
             blank = labels.blank_index
 
+            # NOTE: the device LM rides as a TRACED pytree argument, never a
+            # closure capture — captured arrays would be baked into the
+            # jitted program as constants (duplicating a potentially
+            # hundreds-of-MB n-gram table per compile)
             def _fused(carry, chunk, t_frames, t_out, start, variables,
-                       beam_state, beam_ts, beam_valid):
+                       beam_state, beam_ts, beam_valid, lm):
                 from deepspeech_tpu.decoders.beam_device import \
                     beam_continue_impl
                 carry, logits = _chunk_step(
@@ -176,7 +180,7 @@ class StreamingTranscriber:
                 beam_state = beam_continue_impl(
                     beam_state, logits, beam_ts, beam_valid, blank=blank,
                     cutoff_top_n=cutoff_top_n,
-                    cutoff_prob=float(cutoff_prob), lm=self.lm,
+                    cutoff_prob=float(cutoff_prob), lm=lm,
                     space=self._lm_space, alpha=float(lm_alpha),
                     beta=float(lm_beta))
                 return carry, logits, beam_state
@@ -357,7 +361,7 @@ class StreamingTranscriber:
                 *args, self._beam_state,
                 jnp.asarray(np.broadcast_to(idx, valid.shape)
                             .astype(np.int32)),
-                jnp.asarray(valid))
+                jnp.asarray(valid), self.lm)
         else:
             self._carry, logits = self._step(*args)
         self._conv_base += g.emit

@@ -147,6 +147,24 @@ def test_eval_cli_device_beam_sharded_over_mesh(trained, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_host_beam_with_lm_on_mesh(trained, tmp_path):
+    """Host beam + LM with a mesh-divisible batch: the mesh setup must NOT
+    try to device_put the host LM object (regression: it crashed with
+    'Cannot interpret ArpaLM as an abstract array')."""
+    from tests.test_beam import ARPA
+    ckpt, manifest, _ = trained
+    lm = tmp_path / "t.arpa"
+    lm.write_text(ARPA)
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "8", "--num-workers", "0", "--max-items", "2",
+        "--decoder", "beam", "--beam-width", "4", "--lm-path", str(lm),
+        "--report-file", str(tmp_path / "r.csv")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
 def test_eval_cli_device_beam_with_lm(trained, tmp_path):
     """--decoder device_beam --lm-path: LM-fused beam search fully on
     device through the batch-eval CLI (the on-chip twin of the reference's
