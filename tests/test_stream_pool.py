@@ -183,3 +183,47 @@ def test_pool_underrun_silence_fill(setup):
         assert n < 200
     assert pool.done(s)
     assert isinstance(pool.text(s), str)
+
+
+def test_pool_lm_beam_slot_reuse(setup, tmp_path):
+    """LM-fused pool decoding: each slot's hypotheses equal a single
+    LM-fused stream, and slot REUSE resets the per-beam LM carry (word
+    context + char-trie node) along with the beam state."""
+    from tests.test_beam import ARPA
+    model, variables, labels = setup
+    arpa = ARPA.replace("AB", "HI").replace("BA", "ME")
+    p = tmp_path / "t.arpa"
+    p.write_text(arpa)
+
+    def single(y):
+        st = StreamingTranscriber(model, variables, labels, AudioConf(),
+                                  normalize="none", chunk_frames=CHUNK,
+                                  decoder="beam", beam_width=8,
+                                  lm_path=str(p), lm_alpha=1.5, lm_beta=0.4)
+        st.feed(y)
+        st.finish()
+        return st.beam_texts()[0][0]
+
+    pool = StreamPool(model, variables, labels, AudioConf(),
+                      normalize="none", chunk_frames=CHUNK, slots=2,
+                      decoder="beam", beam_width=8, lm_path=str(p),
+                      lm_alpha=1.5, lm_beta=0.4)
+    ys = [_audio(0.8, 8), _audio(1.1, 9)]
+    slots = []
+    for y in ys:
+        s = pool.open()
+        pool.write(s, y)
+        pool.close(s)
+        slots.append(s)
+    while pool.busy():
+        pool.tick()
+    for s, y in zip(slots, ys):
+        assert pool.beam_text(s) == single(y)
+    # reuse: a fresh tenant must not inherit the previous word context
+    y2 = _audio(0.6, 10)
+    s2 = pool.open()
+    pool.write(s2, y2)
+    pool.close(s2)
+    while pool.busy():
+        pool.tick()
+    assert pool.beam_text(s2) == single(y2)
