@@ -61,12 +61,20 @@ def build_decoder(args, labels):
     (reference test.py:73-83; ``device_beam`` is TPU-native extra)."""
     if getattr(args, "decoder", "greedy") == "device_beam":
         from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
-        return DeviceBeamCTCDecoder(
-            labels.labels, beam_width=args.beam_width,
-            cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
-            top_paths=args.top_paths, blank_index=labels.blank_index,
-            lm_path=getattr(args, "lm_path", None),
-            alpha=args.alpha, beta=args.beta)
+        try:
+            return DeviceBeamCTCDecoder(
+                labels.labels, beam_width=args.beam_width,
+                cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
+                top_paths=args.top_paths, blank_index=labels.blank_index,
+                lm_path=getattr(args, "lm_path", None),
+                alpha=args.alpha, beta=args.beta)
+        except ValueError as e:
+            raise SystemExit(
+                f"--decoder device_beam: {e}\n"
+                "KenLM .binary files are host-only; use --decoder beam, or "
+                "convert the textual ARPA to a DSLM file "
+                "(python -m deepspeech_tpu.decoders.lm_binary) for the "
+                "on-device LM-fused path.") from e
     if getattr(args, "decoder", "greedy") == "beam":
         from deepspeech_tpu.decoders import BeamCTCDecoder
         return BeamCTCDecoder(

@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--best", action="store_true",
                    help="print samples with CER < 15%")
     p.add_argument("--norm", default="max_frame")
-    p.add_argument("--report-file", default="data/test_report.csv")
+    p.add_argument("--report-file", default=None,
+                   help="write a per-utterance CSV report to this path "
+                        "(off by default so eval runs never dirty the tree)")
     p.add_argument("--output-path", default=None, type=str,
                    help="dump per-utterance logits/probs pickles next to wavs")
     p.add_argument("--max-items", default=0, type=int)

@@ -85,6 +85,10 @@ def convert_arpa(arpa_path: str, out_path: str) -> dict:
             vocab.add(words[0])
         else:
             vocab.update(words)
+    if order == 0:
+        raise ValueError(
+            f"{arpa_path}: no \\data\\ n-gram sections found — not a "
+            "textual ARPA file (and not DSLM/KenLM binary)")
     words_sorted = sorted(vocab)
     wid = {w: i for i, w in enumerate(words_sorted)}
     v = len(words_sorted)

@@ -192,6 +192,25 @@ class KenLMProbing:
                     break
                 self._wid[w.decode("utf8", "replace")] = i
         self.vocab_size = counts[0]
+        if len(self._wid) > 1:
+            self._verify_vocab_layout(path)
+
+    def _verify_vocab_layout(self, path: str):
+        """Cross-check sampled word-string ids against the hash-probing
+        table so a byte-layout/bucket-count mismatch with a real KenLM
+        artifact fails loudly at load time instead of silently mapping
+        every query to ``<unk>`` (id 0) via probe misses."""
+        items = [(w, i) for w, i in self._wid.items() if w != "<unk>"]
+        sample = (items[:2] + items[len(items) // 2:len(items) // 2 + 1]
+                  + items[-2:])
+        for w, i in sample:
+            h = murmur_hash64a(w.encode("utf8"))
+            j = self._probe(self._vocab_keys, h)
+            if j is None or int(self._vocab_vals[j]) != i:
+                raise ValueError(
+                    f"{path}: vocab hash-table layout mismatch (word {w!r} "
+                    f"id {i} not recoverable by probing); the file likely "
+                    "uses an incompatible KenLM format revision")
 
     def close(self):
         self._unigram = None

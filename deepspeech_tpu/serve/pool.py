@@ -240,11 +240,16 @@ class StreamPool:
             idx = (anchor_base_global
                    + np.arange(g.emit, dtype=np.int64)[None, :]
                    - (self._start[:, None] // 2))
+            # Beam offsets pack (frame+1)*64+char into int32, so frame
+            # indices past 2^25 would silently wrap; enforce the documented
+            # cap here instead of relying on the idle-time rebase.
+            _idx_cap = (1 << 25) - 1
             valid = (np.asarray(active_mask)[:, None]
-                     & (idx >= 0) & (idx < t_out[:, None]))
+                     & (idx >= 0) & (idx < t_out[:, None])
+                     & (idx <= _idx_cap))
             st._carry, logits, st._beam_state = st._step_beam(
                 *args, st._beam_state,
-                jnp.asarray(np.clip(idx, -1, 2 ** 30).astype(np.int32)),
+                jnp.asarray(np.clip(idx, -1, _idx_cap).astype(np.int32)),
                 jnp.asarray(valid), st.lm)
         else:
             st._carry, logits = st._step(*args)
