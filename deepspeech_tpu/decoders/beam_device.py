@@ -68,6 +68,50 @@ def unpack_prefix(pox, lens):
     return chars, offs
 
 
+_I32_MIN = jnp.int32(np.iinfo(np.int32).min)
+
+
+def _onehot(sel: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(S, n) bool: row s has True only at column ``sel[s]``."""
+    return sel[:, None] == jnp.arange(n, dtype=sel.dtype)[None, :]
+
+
+def _take(table: jnp.ndarray, onehot: jnp.ndarray, fill) -> jnp.ndarray:
+    """Exact ``table[sel]`` as a broadcast-compare + max — NO gather.
+
+    TPU gathers inside a ``lax.scan`` body serialize into per-element
+    dynamic slices (~9 ns/element regardless of table width); the ~10
+    per-step gathers were 70% of the whole width-128 beam search
+    (87.9 of 125.9 ms/call on-chip). A one-hot select + max reduction is
+    pure VPU broadcast arithmetic and exact for every payload: the single
+    selected lane wins the max even when its value is ±inf / INT32_MIN,
+    because every other lane holds ``fill`` (the dtype's minimum)."""
+    return jnp.max(jnp.where(onehot, table[None, :], fill), axis=1)
+
+
+def _take2(table: jnp.ndarray, onehot: jnp.ndarray, fill) -> jnp.ndarray:
+    """Row variant of :func:`_take`: exact ``table[sel]`` for (K, D)
+    tables with small D (the LM context carry)."""
+    return jnp.max(jnp.where(onehot[:, :, None], table[None, :, :], fill),
+                   axis=1)
+
+
+def _take_rows_i32(table: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Exact row gather of non-negative int32 (K, L) tables (the packed
+    prefix rows) as four 8-bit-chunk matmuls on the MXU.
+
+    8-bit chunks (<= 255) survive bf16 exactly, and a one-hot left operand
+    is exact in bf16, so the result is bit-exact under ANY TPU matmul
+    precision policy — unlike a single f32 matmul of full values."""
+    oh = onehot.astype(jnp.float32)
+    out = jnp.zeros(onehot.shape[:1] + table.shape[1:], jnp.int32)
+    for shift in (0, 8, 16, 24):
+        chunk = ((table >> shift) & 0xFF).astype(jnp.float32)
+        g = jnp.dot(oh, chunk, preferred_element_type=jnp.float32)
+        out = out | (g.astype(jnp.int32) << shift)
+    return out
+
+
 def _masked_lse(x: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
     """log-sum-exp of ``x`` where ``mask``, -inf on empty groups, NaN-free."""
     x = jnp.where(mask, x, NEG_INF)
@@ -141,7 +185,7 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
 
     # --- candidates: K stays + (K, C) extends ---
     last_c = jnp.clip(last, 0, c - 1)
-    lp_last = lp[last_c]  # (K,)
+    lp_last = _take(lp, _onehot(last_c, c), NEG_INF)  # (K,)
     stay_pb = total + lp[blank]
     stay_pnb = jnp.where(lens > 0, p_nb + lp_last, NEG_INF)
 
@@ -163,15 +207,10 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     ext_ok = (parent_ok[:, None] & (jnp.arange(c)[None, :] != blank)
               & (lens[:, None] < max_len) & (ext > NEG_INF))
 
-    # rolling hashes: stay keeps the parent's, extend appends char c
-    char_grid = jnp.arange(c)[None, :] + 1  # 1-based so char 0 != "empty"
-    eh1 = (h1[:, None] * _HASH_M1 + char_grid).astype(jnp.int32)
-    eh2 = (h2[:, None] * _HASH_M2 + char_grid).astype(jnp.int32)
-    # invalid extends get unique sentinels disjoint from the beam-row
-    # sentinels (which live in [-(k+1), -2]) so they can't match anything
-    sent_ext = -(jnp.arange(k * c, dtype=jnp.int32).reshape(k, c) + k + 2)
-    eh1 = jnp.where(ext_ok, eh1, sent_ext)
-    eh2 = jnp.where(ext_ok, eh2, sent_ext)
+    # Rolling hashes of extends (stay keeps the parent's, extend appends
+    # char c) are NOT materialized as a (K, C) grid any more: selected
+    # candidates recompute them from (parent, char) after top-k (see
+    # below), and invalid/unselected candidates are masked by ``sel_ok``.
 
     # --- exact merge. Beam prefixes are pairwise-distinct, so two stays
     # never collide, and extends of equal length collide only if parent+char
@@ -206,7 +245,6 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
                    & (lens > 0)[:, None])
     ext_absorbed = jnp.dot(match_ij.astype(jnp.float32),
                            onehot_last.astype(jnp.float32)) > 0.5  # (K, C)
-    ext_flat = ext.reshape(k * c)
 
     stay_score = jnp.where(parent_ok,
                            jnp.logaddexp(stay_pb, stay_pnb), NEG_INF)
@@ -219,33 +257,63 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     # Chars + frame offsets ride ONE packed int32 row per beam
     # (pox = (t+1)*64 + char; the parent's chars equal the stay's by
     # construction), halving the (K, L) carry traffic per step.
-    has_ext = match_ij.any(0)
-    i_min = jnp.argmax(match_ij, axis=0)  # first matching parent per stay
+    # first matching parent per stay + "any" in ONE min-reduce (the
+    # argmax+any pair was two separate reduction passes per step)
+    i_first = jnp.min(jnp.where(match_ij, jnp.arange(k)[:, None], k), axis=0)
+    has_ext = i_first < k
+    i_min = jnp.where(has_ext, i_first, 0)
     use_ext_off = has_ext & (i_min < jnp.arange(k))
     if not trace:
-        pos_i = lens[i_min]
+        oh_imin = _onehot(i_min, k)
+        pos_i = _take(lens, oh_imin, _I32_MIN)
         write_i = jnp.arange(max_len)[None, :] == pos_i[:, None]
         pack_j = (t + 1) * _PACK + last_c  # the stay's own char, stamped now
-        off_from_ext = jnp.where(write_i, pack_j[:, None], pox[i_min])
+        off_from_ext = jnp.where(write_i, pack_j[:, None],
+                                 _take_rows_i32(pox, oh_imin))
         stay_pox = jnp.where(use_ext_off[:, None], off_from_ext, pox)
 
     # --- select beams and rebuild prefix rows (layout: [stays | extends]) ---
     score = jnp.concatenate([stay_score, ext_score])
-    top_scores, idx = jax.lax.top_k(score, k)
+    # lax.top_k (XLA's tuned TopK custom call, 2.4 us at this shape) by
+    # default; DEEPSPEECH_TPU_PALLAS_TOPK=1 swaps in the bit-equal Pallas
+    # bitonic network (ops/pallas/topk_kernel.py, measured slower — see
+    # PERF.md "Beam selection").
+    from deepspeech_tpu.ops.pallas.topk_kernel import topk_total_order
+    top_scores, idx = topk_total_order(score, k)
     is_ext = idx >= k
     eidx = jnp.maximum(idx - k, 0)
     parent = jnp.where(is_ext, eidx // c, idx)
     char = jnp.where(is_ext, eidx % c, 0)
     sel_ok = top_scores > NEG_INF
 
-    pb_all = jnp.concatenate([stay_pb, jnp.full((k * c,), NEG_INF)])
-    pnb_all = jnp.concatenate([stay_pnb, ext_flat])
-    h1_all = jnp.concatenate([h1, eh1.reshape(k * c)])
-    h2_all = jnp.concatenate([h2, eh2.reshape(k * c)])
+    # Selected-candidate payloads are RECOMPUTED from (parent, char) with
+    # the same expressions (same operands, same op order -> bit-identical)
+    # instead of gathered at ``idx`` from the (K + K*C)-wide concatenations,
+    # and the remaining ``[parent]`` lookups ride one-hot select+max
+    # (:func:`_take`) — in-scan gathers cost ~9 ns/element regardless of
+    # table size and were 70% of the search. Every selected extend has
+    # ``ext_ok & ~absorbed`` (its score survived > -inf), so the un-masked
+    # formulas apply; ``sel_ok`` masks the rest, as before.
+    oh_parent = _onehot(parent, k)                  # (K, K)
+    pb_p = _take(p_b, oh_parent, NEG_INF)
+    total_p = _take(total, oh_parent, NEG_INF)
+    last_p = _take(last, oh_parent, _I32_MIN)
+    h1_p = _take(h1, oh_parent, _I32_MIN)
+    h2_p = _take(h2, oh_parent, _I32_MIN)
+    lp_ch = _take(lp, _onehot(char, c), NEG_INF)
+    ext_val = jnp.where(char == last_p, pb_p, total_p) + lp_ch
+    if lm is not None:
+        ext_val = ext_val + _take(bonus, oh_parent, NEG_INF) * (char == space)
+    sel_pb = jnp.where(is_ext, NEG_INF, _take(stay_pb, oh_parent, NEG_INF))
+    sel_pnb = jnp.where(is_ext, ext_val,
+                        _take(stay_pnb, oh_parent, NEG_INF))
+    char1 = char + 1
+    sel_h1 = jnp.where(is_ext, h1_p * _HASH_M1 + char1, h1_p)
+    sel_h2 = jnp.where(is_ext, h2_p * _HASH_M2 + char1, h2_p)
 
-    pos = lens[parent]  # (K,)
+    pos = _take(lens, oh_parent, _I32_MIN)  # (K,)
     new_lens = pos + is_ext.astype(lens.dtype)
-    new_last = jnp.where(is_ext, char, last[parent])
+    new_last = jnp.where(is_ext, char, last_p)
 
     ys = None
     if trace:
@@ -253,9 +321,11 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
         # rule re-parents become (i_min, own last char, emit) — the chain
         # through i_min reproduces both chars and stamped frames exactly
         j_sel = jnp.minimum(idx, k - 1)
-        reparent = ~is_ext & use_ext_off[j_sel]
-        tr_parent = jnp.where(reparent, i_min[j_sel], parent)
-        tr_char = jnp.where(is_ext, char, last_c[j_sel])
+        oh_jsel = _onehot(j_sel, k)
+        reparent = ~is_ext & _take(use_ext_off, oh_jsel, False)
+        tr_parent = jnp.where(reparent, _take(i_min, oh_jsel, _I32_MIN),
+                              parent)
+        tr_char = jnp.where(is_ext, char, _take(last_c, oh_jsel, _I32_MIN))
         tr_emit = (is_ext | reparent) & sel_ok
         tr_parent = jnp.where(sel_ok, tr_parent,
                               jnp.arange(k, dtype=jnp.int32))
@@ -264,33 +334,35 @@ def _beam_step(state, inputs, *, blank: int, cutoff_top_n: int,
     else:
         write = is_ext[:, None] & (jnp.arange(max_len)[None, :]
                                    == pos[:, None])
-        base = jnp.where(is_ext[:, None], pox[parent], stay_pox[parent])
+        base = jnp.where(is_ext[:, None], _take_rows_i32(pox, oh_parent),
+                         _take_rows_i32(stay_pox, oh_parent))
         new_pox = jnp.where(write, ((t + 1) * _PACK + char)[:, None], base)
 
     sent = -(jnp.arange(k, dtype=jnp.int32) + 2)
     new_state = (() if trace else (new_pox,)) + (
         new_lens,
         jnp.where(sel_ok, new_last, -1),
-        jnp.where(sel_ok, h1_all[idx], sent),
-        jnp.where(sel_ok, h2_all[idx], sent),
-        jnp.where(sel_ok, pb_all[idx], NEG_INF),
-        jnp.where(sel_ok, pnb_all[idx], NEG_INF),
+        jnp.where(sel_ok, sel_h1, sent),
+        jnp.where(sel_ok, sel_h2, sent),
+        jnp.where(sel_ok, sel_pb, NEG_INF),
+        jnp.where(sel_ok, sel_pnb, NEG_INF),
     )
     if lm is not None:
         # per-beam LM carry: a space extend completes the parent's partial
         # word (context gains its vocab id, partial resets); any other
         # extend walks one char-trie edge; stays inherit the parent's state
         from deepspeech_tpu.decoders.lm_device import trie_advance
-        ctx_p = lm_ctx[parent]
-        len_p = lm_len[parent]
-        trie_p = lm_trie[parent]
+        ctx_p = _take2(lm_ctx, oh_parent, _I32_MIN)
+        len_p = _take(lm_len, oh_parent, _I32_MIN)
+        trie_p = _take(lm_trie, oh_parent, _I32_MIN)
         adv = jax.vmap(lambda nd, ch: trie_advance(lm, nd, ch))(trie_p, char)
         is_space_ext = is_ext & (char == space)
         completes = is_space_ext & (trie_p != 0)
         om1 = lm_ctx.shape[1]
         if om1 > 0:
             shifted = jnp.concatenate(
-                [ctx_p[:, 1:], wid_cur[parent][:, None]], axis=1)
+                [ctx_p[:, 1:], _take(wid_cur, oh_parent, _I32_MIN)[:, None]],
+                axis=1)
             new_ctx = jnp.where(completes[:, None], shifted, ctx_p)
         else:
             new_ctx = ctx_p
