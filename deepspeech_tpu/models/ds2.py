@@ -64,7 +64,12 @@ class RecurrentLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
                  train: bool) -> jnp.ndarray:
         # x: (T, B, F). BN flattens (T*B, F) with padding rows included,
-        # exactly like SequenceWise (model.py:28-43).
+        # exactly like SequenceWise (model.py:28-43). Folding the normalize
+        # into the projection WEIGHTS was measured a net loss here (4493 vs
+        # 4554 audio-s/s: the backward's dW_eff->(dW, da) passes over the
+        # (F, G*H) weight grads outweigh the saved activation pass, and XLA
+        # already fuses normalize+cast into one stream pass) — so the
+        # elementwise form stays; see PERF.md "Step tail".
         if self.batch_norm:
             x = TorchBatchNorm(momentum=self.bnm, name="bn")(x, train)
         d = 2 if self.bidirectional else 1
@@ -82,6 +87,19 @@ class RecurrentLayer(nn.Module):
         return rnn_scan(x, lengths, w_ih, b_ih, w_hh, b_hh, cell=self.cell,
                         bidirectional=self.bidirectional, sum_directions=True,
                         compute_dtype=self.compute_dtype)
+
+
+class _DenseKernel(nn.Module):
+    """Bias-free Dense parameter holder (same tree/init as
+    ``nn.Dense(use_bias=False)``) so the head BN can fold into the kernel
+    while checkpoints stay interchangeable."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
 
 
 class _ConvParams(nn.Module):
@@ -194,8 +212,15 @@ class DeepSpeech2(nn.Module):
             x = Lookahead(self.hidden_size, self.context, name="lookahead")(x)
             x = hardtanh_0_20(x)
 
-        x = TorchBatchNorm(momentum=self.bnm, name="fc_bn")(x, train)
-        x = nn.Dense(self.num_classes, use_bias=False, name="fc")(x)
+        # head BN folds into the fc kernel the same way (the param tree is
+        # identical to nn.Dense(use_bias=False), so checkpoints are
+        # unchanged): bn(x) @ W == x @ (a[:, None]*W) + b@W
+        a, sh = TorchBatchNorm(momentum=self.bnm, name="fc_bn",
+                               fold=True)(x, train)
+        kernel = _DenseKernel((x.shape[-1], self.num_classes), name="fc")()
+        x = (jnp.einsum("tbh,hc->tbc", x, a[:, None] * kernel,
+                        preferred_element_type=jnp.float32)
+             + (sh @ kernel)[None, None, :])
 
         logits = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # (B, T', C)
         probs = jax.nn.softmax(logits, axis=-1)

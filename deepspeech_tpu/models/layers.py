@@ -29,14 +29,23 @@ def length_mask(lengths: jnp.ndarray, t: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm over the last axis with torch running-stat semantics."""
+    """BatchNorm over the last axis with torch running-stat semantics.
+
+    With ``fold=True`` the module returns the equivalent per-feature affine
+    ``(a, b)`` (``bn(x) == x * a + b``) instead of the normalized tensor,
+    so a following matmul can fold it into its weights
+    (``bn(x) @ W == x @ (a[:, None] * W) + b @ W``) and the (T, B, F)
+    normalized intermediate never exists in HBM — the sequence-BN fusion
+    of the train-step tail (PERF.md "Step tail"). Running-stat updates are
+    identical in both modes."""
 
     momentum: float = 0.1
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool):
         feat = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (feat,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (feat,), self.dtype)
@@ -59,6 +68,9 @@ class TorchBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.eps)
+        if self.fold:
+            a = inv * scale
+            return a, bias - mean * a
         return (x - mean) * (inv * scale) + bias
 
 
