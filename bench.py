@@ -214,12 +214,13 @@ def bench_loop():
         # always on (it is unconditional in the loop).
         wire = os.environ.get("BENCH_WIRE_DTYPE", "int16")
         workers = _env_int("BENCH_LOOP_WORKERS", 8)
+        spd = _env_int("BENCH_SPD", 1)  # --steps-per-dispatch
         rc = train_cli.main([
             "--train-manifest", manifest, "--val-manifest", val_manifest,
             "--batch-size", str(batch_size), "--hidden-size", str(hidden),
             "--hidden-layers", str(layers), "--epochs", "2",
             "--num-workers", str(workers), "--aug-prob-spect", "0.3",
-            "--wire-dtype", wire,
+            "--wire-dtype", wire, "--steps-per-dispatch", str(spd),
             "--save-folder", os.path.join(tmp, "ckpt"),
             "--log-dir", os.path.join(tmp, "logs"),
             "--silent", "--id", "bench-loop"], observers=[timer])
@@ -230,7 +231,7 @@ def bench_loop():
         value = audio_seconds / dt / n_chips
         return _emit("train_loop_audio_seconds_per_s_per_chip", value,
                      "audio-s/s/chip", hidden=hidden, layers=layers,
-                     bins=bins, wire=wire)
+                     bins=bins, wire=wire, steps_per_dispatch=spd)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

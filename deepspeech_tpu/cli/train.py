@@ -138,6 +138,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "data_axis x mesh_model")
     p.add_argument("--bucket-audio-seconds", default=1.0, type=float,
                    help="audio padding granularity (static XLA shapes)")
+    p.add_argument("--steps-per-dispatch", default=1, type=int,
+                   help="run k optimizer steps per device dispatch: k "
+                        "prefetched microbatches are stacked host-side and "
+                        "driven through one jitted lax.scan, amortizing the "
+                        "host round trip k-fold (the TPU-idiomatic answer "
+                        "to the reference's per-batch host sync, "
+                        "train.py:575-591). Numerics match k=1 exactly; "
+                        "curriculum/metric feedback is at most k steps "
+                        "stale and --checkpoint-per-samples boundaries "
+                        "resolve to k-step granularity")
     p.add_argument("--wire-dtype", default="int16",
                    choices=["int16", "float32", "mulaw8"],
                    help="host->device waveform wire format; int16 halves "
@@ -200,16 +210,20 @@ def main(argv=None, observers=()) -> int:
     from deepspeech_tpu.audio import AudioConf
     from deepspeech_tpu.data import (AudioDataLoader, AudioDataset,
                                      BucketingSampler, BucketSpec,
-                                     DistributedBucketingSampler)
+                                     DistributedBucketingSampler,
+                                     stack_microbatches)
     from deepspeech_tpu.decoders import GreedyDecoder
     from deepspeech_tpu.models import build_model, model_from_meta
     from deepspeech_tpu.parallel import (batch_sharding,
                                          equalize_batch_padding,
                                          local_batch_to_global, make_mesh,
-                                         metrics_to_local, shard_state)
+                                         metrics_to_local, replicated,
+                                         shard_state,
+                                         stacked_batch_sharding)
     from deepspeech_tpu.text.labels import Labels, load_labels
     from deepspeech_tpu.train import (StepConfig, TrainState, build_optimizer,
-                                      get_lr, make_eval_step, make_train_step,
+                                      get_lr, make_eval_step,
+                                      make_multi_train_step, make_train_step,
                                       set_lr)
     from deepspeech_tpu.train import checkpoint as ckpt
     from deepspeech_tpu.train.evaluate import decode_batch_greedy, evaluate
@@ -398,7 +412,19 @@ def main(argv=None, observers=()) -> int:
             print(f"device noise bank: {len(noise_paths)} clips, "
                   f"{bank_np.nbytes / 1e6:.1f} MB on device", flush=True)
     eval_cfg = StepConfig(audio_conf=test_conf, normalize=args.norm)
-    train_step = make_train_step(model, tx, cfg)
+    spd = max(args.steps_per_dispatch, 1)
+    if spd > 1 and world > 1:
+        raise SystemExit(
+            "--steps-per-dispatch > 1 is single-host only: multi-host runs "
+            "already amortize dispatch across per-host shards, and the "
+            "global-array assembly for stacked superbatches is not wired")
+    train_step = (make_train_step(model, tx, cfg) if spd == 1
+                  else make_multi_train_step(model, tx, cfg))
+    if spd > 1:
+        # the k=1 loop draws per-step keys as a sequential split chain; one
+        # fused scan reproduces the EXACT same chain in a single dispatch
+        split_chain = jax.jit(lambda r: jax.lax.scan(
+            lambda rr, _: tuple(jax.random.split(rr)), r, None, length=spd))
     eval_step_fn = make_eval_step(model, eval_cfg)
 
     def eval_step(s, dev_batch):
@@ -585,30 +611,20 @@ def main(argv=None, observers=()) -> int:
         start_iter = 0
         obs.emit("on_epoch_start", epoch)
 
-        pending = None  # (metrics, host batch, paths, iteration) of step N-1
+        pending = None  # tagged record of dispatch N-1, read after N starts
 
-        def process_pending():
-            """Read back + account the previously dispatched step. Called
-            AFTER the next step has been dispatched, so the device transfer
-            waits on work that is already complete while the new step runs."""
-            nonlocal pending
-            if pending is None:
-                return
-            m, pbatch, ppaths, pit = pending
-            pending = None
-            if world > 1:
-                m = metrics_to_local(m, mesh)
-            loss = float(m["loss"])  # blocks until step N-1 is done
+        def account_step(loss, greedy, out_lens, skipped, grad_norm,
+                         pbatch, ppaths, pit):
+            """Account one (micro)batch: meters, async decode, logs."""
             if not np.isfinite(loss):
                 loss = 1000.0  # reporting clamp (reference train.py:609-611)
             n_valid = int(np.asarray(pbatch["valid"]).sum())
             loss_meter.update(loss, n_valid)
             # greedy decode + Levenshtein + curriculum on the worker thread
             # (reference did this inline every batch, train.py:575-591)
-            m_host = {"greedy": np.asarray(m["greedy"]),
-                      "out_lens": np.asarray(m["out_lens"])}
             decode_futures.append(decode_pool.submit(
-                _decode_and_update, m_host, pbatch, ppaths))
+                _decode_and_update, {"greedy": greedy, "out_lens": out_lens},
+                pbatch, ppaths))
             obs.emit("on_batch_end", epoch, pit, loss=loss)
             watch.mark_batch()
             if pit % 10 == 0:
@@ -621,12 +637,38 @@ def main(argv=None, observers=()) -> int:
                     f"lr {get_lr(state.opt_state):.2e}")
                 logger.log("train", step=epoch * len(loader) + pit,
                            loss=loss, avg_loss=loss_meter.avg,
-                           lr=get_lr(state.opt_state),
-                           skipped=bool(m["step_skipped"]))
+                           lr=get_lr(state.opt_state), skipped=skipped)
             if args.log_params and pit % 100 == 0 and is_leader:
                 logger.log_params(jax.device_get(state.params),
-                                  float(m["grad_norm"]),
+                                  float(grad_norm),
                                   epoch * len(loader) + pit)
+
+        def process_pending():
+            """Read back + account the previously dispatched step(s). Called
+            AFTER the next step has been dispatched, so the device transfer
+            waits on work that is already complete while the new step runs."""
+            nonlocal pending
+            if pending is None:
+                return
+            tag, m, pb, pp, pit = pending
+            pending = None
+            if tag == "single":
+                if world > 1:
+                    m = metrics_to_local(m, mesh)
+                account_step(float(m["loss"]), np.asarray(m["greedy"]),
+                             np.asarray(m["out_lens"]),
+                             bool(m["step_skipped"]), m["grad_norm"],
+                             pb, pp, pit)
+                return
+            # group: stacked (k, ...) metrics; account live microbatches only
+            loss_np = np.asarray(m["loss"])
+            greedy_np = np.asarray(m["greedy"])
+            lens_np = np.asarray(m["out_lens"])
+            skip_np = np.asarray(m["step_skipped"])
+            norm_np = np.asarray(m["grad_norm"])
+            for j, (b_j, p_j) in enumerate(zip(pb, pp)):
+                account_step(float(loss_np[j]), greedy_np[j], lens_np[j],
+                             bool(skip_np[j]), norm_np[j], b_j, p_j, pit + j)
 
         batches = loader.iter_from(it)
 
@@ -641,15 +683,7 @@ def main(argv=None, observers=()) -> int:
             watch.mark_data()
             return b, to_device(b)
 
-        nxt = pull()
-        while nxt is not None:
-            batch, dev_batch = nxt
-            maybe_profile(global_step)
-            paths = batch.get("paths")
-            obs.emit("on_batch_start", epoch, it)
-            rng, step_key = jax.random.split(rng)
-            state, m = train_step(state, dev_batch, step_key)
-            nxt = pull()  # start batch N+1's transfer while step N runs
+        def start_readback(m):
             if world == 1:
                 # start the device->host copies now; by the time
                 # process_pending() reads them (after the NEXT dispatch) the
@@ -658,37 +692,128 @@ def main(argv=None, observers=()) -> int:
                 for v in m.values():
                     if hasattr(v, "copy_to_host_async"):
                         v.copy_to_host_async()
-            process_pending()  # overlap: account step N-1 while N runs
-            pending = (m, batch, paths, it)
-            n_valid = int(np.asarray(batch["valid"]).sum())
-            it += 1
-            global_step += 1
-            samples_since_ckpt += n_valid
-            if (args.checkpoint_per_samples
+
+        def maybe_sample_checkpoint():
+            nonlocal checkpoint_id, samples_since_ckpt, state
+            if not (args.checkpoint_per_samples
                     and samples_since_ckpt >= args.checkpoint_per_samples):
-                # flush the pipeline so the checkpoint's curriculum CSVs and
-                # loss average include every step up to this one
+                return
+            # flush the pipeline so the checkpoint's curriculum CSVs and
+            # loss average include every step up to this one
+            process_pending()
+            drain_decodes()
+            checkpoint_id += 1
+            save_package(os.path.join(
+                args.save_folder,
+                f"deepspeech_checkpoint_{checkpoint_id:04d}.ckpt"),
+                epoch=epoch, iteration=it, avg_loss=loss_meter.avg)
+            run_validation(epoch, tag="val_checkpoint")
+            samples_since_ckpt = 0
+            if args.checkpoint_anneal != 1.0:
+                # set_lr swaps only the injected-hyperparams scalar; the
+                # rest of the optimizer state stays on device untouched
+                old_lr = get_lr(state.opt_state)
+                new_lr = old_lr / args.checkpoint_anneal
+                state = state.replace(
+                    opt_state=set_lr(state.opt_state, new_lr))
+                say(f"  checkpoint anneal -> lr {new_lr:.2e}")
+                # LR-finder stream: (lr, loss) points for a loss-vs-LR
+                # plot (reference LRPlotWindow, train.py:254-314, 414-421)
+                logger.log("lr_find", step=checkpoint_id, lr=old_lr,
+                           loss=loss_meter.avg)
+
+        held = [None]  # one-batch lookahead across pull_group calls
+
+        def pull_group():
+            """Next k SAME-SHAPE host batches, stacked and transferred as ONE
+            (k, B, ...) superbatch. Like pull(), the transfer is async and
+            overlaps the in-flight k-step program.
+
+            Groups never mix bucket shapes: train-mode BatchNorm statistics
+            include bucket-padding frames (reference semantics — its dense
+            (T, B, H) BN sees pad frames too, model.py:82-96), so widening a
+            batch to a common shape would CHANGE its numerics. A shape
+            switch closes the group early (live-masked tail lanes); under
+            bucketing, consecutive batches share shapes for long runs, so
+            full groups dominate."""
+            group = []
+            while len(group) < spd:
+                b = held[0] or next(batches, None)
+                held[0] = None
+                if b is None:
+                    break
+                if group and (b["audio"].shape != group[0]["audio"].shape
+                              or b["targets"].shape != group[0]["targets"].shape):
+                    held[0] = b  # different bucket: starts the next group
+                    break
+                watch.mark_data()
+                group.append(b)
+            if not group:
+                return None
+            paths_g = [b.get("paths") for b in group]
+            stacked, live = stack_microbatches(
+                [{k: v for k, v in b.items() if k != "paths"}
+                 for b in group], spd)
+            if mesh is not None:
+                sb = stacked_batch_sharding(mesh)
+                dev = {k: jax.device_put(v, sb) for k, v in stacked.items()}
+                live_d = jax.device_put(live, replicated(mesh))
+            else:
+                dev = {k: jax.device_put(v) for k, v in stacked.items()}
+                live_d = jax.device_put(live)
+            return group, paths_g, dev, live_d
+
+        if spd == 1:
+            nxt = pull()
+            while nxt is not None:
+                batch, dev_batch = nxt
+                maybe_profile(global_step)
+                paths = batch.get("paths")
+                obs.emit("on_batch_start", epoch, it)
+                rng, step_key = jax.random.split(rng)
+                state, m = train_step(state, dev_batch, step_key)
+                nxt = pull()  # start batch N+1's transfer while step N runs
+                start_readback(m)
+                process_pending()  # overlap: account step N-1 while N runs
+                pending = ("single", m, batch, paths, it)
+                n_valid = int(np.asarray(batch["valid"]).sum())
+                it += 1
+                global_step += 1
+                samples_since_ckpt += n_valid
+                maybe_sample_checkpoint()
+        else:
+            nxt = pull_group()
+            while nxt is not None:
+                group, paths_g, dev, live_d = nxt
+                maybe_profile(global_step)
+                for j in range(len(group)):
+                    obs.emit("on_batch_start", epoch, it + j)
+                # the SAME per-step keys the k=1 loop would draw (numerics
+                # parity); tail-padding lanes reuse the last key (unused)
+                if len(group) == spd:
+                    rng, keys_arr = split_chain(rng)
+                else:  # epoch tail: advance the chain by exactly k' steps
+                    keys = []
+                    for _ in group:
+                        rng, step_key = jax.random.split(rng)
+                        keys.append(step_key)
+                    while len(keys) < spd:
+                        keys.append(keys[-1])
+                    keys_arr = jnp.stack(keys)
+                if mesh is not None:
+                    keys_arr = jax.device_put(keys_arr, replicated(mesh))
+                state, m = train_step(state, dev, keys_arr, live_d,
+                                      noise_extra)
+                nxt = pull_group()  # group N+1's H2D rides the k-step scan
+                start_readback(m)
                 process_pending()
-                drain_decodes()
-                checkpoint_id += 1
-                save_package(os.path.join(
-                    args.save_folder,
-                    f"deepspeech_checkpoint_{checkpoint_id:04d}.ckpt"),
-                    epoch=epoch, iteration=it, avg_loss=loss_meter.avg)
-                run_validation(epoch, tag="val_checkpoint")
-                samples_since_ckpt = 0
-                if args.checkpoint_anneal != 1.0:
-                    # set_lr swaps only the injected-hyperparams scalar; the
-                    # rest of the optimizer state stays on device untouched
-                    old_lr = get_lr(state.opt_state)
-                    new_lr = old_lr / args.checkpoint_anneal
-                    state = state.replace(
-                        opt_state=set_lr(state.opt_state, new_lr))
-                    say(f"  checkpoint anneal -> lr {new_lr:.2e}")
-                    # LR-finder stream: (lr, loss) points for a loss-vs-LR
-                    # plot (reference LRPlotWindow, train.py:254-314, 414-421)
-                    logger.log("lr_find", step=checkpoint_id, lr=old_lr,
-                               loss=loss_meter.avg)
+                pending = ("group", m, group, paths_g, it)
+                n_valid = sum(int(np.asarray(b["valid"]).sum())
+                              for b in group)
+                it += len(group)
+                global_step += len(group)
+                samples_since_ckpt += n_valid
+                maybe_sample_checkpoint()
         process_pending()
         drain_decodes()
 

@@ -188,3 +188,49 @@ class AudioDataLoader:
 
     def __iter__(self):
         return self.iter_from(0)
+
+
+def stack_microbatches(group: list[dict], k: int) -> tuple[dict, np.ndarray]:
+    """Stack k' <= k collated host batches into one (k, B, ...) superbatch
+    for a multi-step-per-dispatch program (train/step.py
+    make_multi_train_step).
+
+    Batches are zero-padded on their ragged axis (audio samples / spect
+    frames / target ids) to the group maximum — the arrays are bit-identical
+    to what :func:`collate_batch` would have produced at the larger bucket,
+    since pad regions beyond each row's reflect tail are zeros there too.
+    NOTE: train-mode BatchNorm statistics include padding frames (reference
+    dense-BN semantics), so a widened batch is NOT numerics-identical to
+    its narrow form — the train CLI therefore only groups same-shape
+    batches and closes a group early on a bucket switch.  When the group
+    is short, all-padding microbatches fill the remaining slots; the
+    returned ``live`` mask (k,) marks them False and the device step
+    suppresses their state transition entirely.
+    """
+    assert group and len(group) <= k
+    mats: dict[str, list] = {key: [] for key in group[0] if key != "paths"}
+    wides = {"audio": max(b["audio"].shape[-1] for b in group)
+             if "audio" in mats else 0,
+             "spect": max(b["spect"].shape[-1] for b in group)
+             if "spect" in mats else 0,
+             "targets": max(b["targets"].shape[-1] for b in group)}
+
+    for b in group:
+        for key, vs in mats.items():
+            v = b[key]
+            wide = wides.get(key)
+            if wide and v.shape[-1] < wide:
+                pad = [(0, 0)] * (v.ndim - 1) + [(0, wide - v.shape[-1])]
+                v = np.pad(v, pad)
+            vs.append(v)
+    for _ in range(k - len(group)):
+        for key, vs in mats.items():
+            dead = np.zeros_like(vs[0])
+            if key in ("audio_lengths", "spect_lengths"):
+                dead = np.ones_like(vs[0])  # collate's dummy-row convention
+            elif key == "audio_scale":
+                dead = np.ones_like(vs[0])
+            vs.append(dead)
+    stacked = {key: np.stack(vs) for key, vs in mats.items()}
+    live = np.arange(k) < len(group)
+    return stacked, live

@@ -41,6 +41,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(k, B, ...) superbatch sharding: microbatch axis replicated, batch
+    axis over ``data`` (multi-step-per-dispatch, data/loader.py
+    stack_microbatches)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

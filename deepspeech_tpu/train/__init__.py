@@ -4,10 +4,12 @@ from deepspeech_tpu.train.step import (
     StepConfig,
     TrainState,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 
 __all__ = [
     "build_optimizer", "get_lr", "set_lr",
-    "StepConfig", "TrainState", "make_eval_step", "make_train_step",
+    "StepConfig", "TrainState", "make_eval_step", "make_multi_train_step",
+    "make_train_step",
 ]

@@ -100,15 +100,17 @@ def _featurize(batch, cfg: StepConfig, rng, train: bool):
     return batch["spect"], batch["spect_lengths"]
 
 
-def make_train_step(model, tx: optax.GradientTransformation,
-                    cfg: StepConfig = StepConfig(),
-                    donate: bool = True) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics).
+def _train_step_body(model, tx: optax.GradientTransformation,
+                     cfg: StepConfig) -> Callable:
+    """Un-jitted step body: train_step(state, batch, rng, live=None).
 
-    batch dict: audio (B,S) + audio_lengths (B,) [or spect/spect_lengths],
-    targets (B,L), target_lengths (B,). metrics: loss (reporting semantics),
-    per-sample losses, greedy ids + lengths for host decode, grad-norm,
-    step_skipped flag.
+    ``live`` (optional traced bool) gates the whole state transition:
+    a dead step computes but keeps params/opt_state/batch_stats/step
+    unchanged — used by :func:`make_multi_train_step` so a ragged tail
+    group (fewer real batches than ``steps_per_dispatch``) reuses the
+    same compiled program with padding microbatches that are exactly
+    neutral (zero grads alone would NOT be: SGD momentum still moves
+    params and BN stats still decay on an all-padding batch).
     """
 
     def loss_fn(params, batch_stats, batch, rng, spect, spect_lengths):
@@ -132,7 +134,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
                    out_lens=out_lens)
         return loss, aux
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, live=None):
         spect, spect_lengths = _featurize(batch, cfg, rng, train=True)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng, spect, spect_lengths)
@@ -146,20 +148,83 @@ def make_train_step(model, tx: optax.GradientTransformation,
         grads_ok = jnp.logical_and(
             jnp.logical_not(aux["logits_has_nan"]),
             jnp.isfinite(optax.global_norm(grads)))
+        new_stats = aux["batch_stats"]
+        step_inc = 1
+        if live is not None:
+            grads_ok = jnp.logical_and(grads_ok, live)
+            new_stats = jax.tree.map(
+                lambda n, o: jnp.where(live, n, o),
+                new_stats, state.batch_stats)
+            step_inc = live.astype(jnp.int32)
         take = lambda new, old: jax.tree.map(
             lambda n, o: jnp.where(grads_ok, n, o), new, old)
         state = TrainState(
             params=take(new_params, state.params),
-            batch_stats=aux["batch_stats"],
+            batch_stats=new_stats,
             opt_state=take(new_opt, state.opt_state),
-            step=state.step + 1)
+            step=state.step + step_inc)
         metrics = dict(loss=loss, per_sample=aux["per_sample"],
                        greedy=aux["greedy"], out_lens=aux["out_lens"],
                        grad_norm=optax.global_norm(grads),
                        step_skipped=jnp.logical_not(grads_ok))
         return state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    cfg: StepConfig = StepConfig(),
+                    donate: bool = True) -> Callable:
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics).
+
+    batch dict: audio (B,S) + audio_lengths (B,) [or spect/spect_lengths],
+    targets (B,L), target_lengths (B,). metrics: loss (reporting semantics),
+    per-sample losses, greedy ids + lengths for host decode, grad-norm,
+    step_skipped flag.
+    """
+    return jax.jit(_train_step_body(model, tx, cfg),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(model, tx: optax.GradientTransformation,
+                          cfg: StepConfig = StepConfig(),
+                          donate: bool = True) -> Callable:
+    """k steps per device dispatch: the TPU-idiomatic answer to per-batch
+    host sync (reference train.py:575-591, 690).
+
+    Returns multi_step(state, stacked, keys, live, shared) -> (state, m):
+
+    * ``stacked``: batch dict with a leading microbatch axis (k, B, ...) —
+      k host batches np.stack'ed (data/loader.py stack_microbatches). The
+      train CLI only groups batches of the SAME bucket shape: train-mode
+      BatchNorm statistics include padding frames (reference dense-BN
+      semantics), so zero-padding a batch wider is not numerics-neutral;
+    * ``keys``: (k, 2) uint32 — the SAME per-step PRNG keys the k=1 loop
+      would have drawn, so augmentation noise matches exactly;
+    * ``live``: (k,) bool — False marks tail-padding microbatches whose
+      state transition is suppressed (see :func:`_train_step_body`);
+    * ``shared``: per-run device-resident extras (noise bank) that every
+      microbatch reuses, kept out of the scanned axis.
+
+    One ``lax.scan`` runs the k full step bodies back to back on device;
+    the host pays one dispatch + one metrics readback per k batches, so
+    the ~25 ms tunnel round trip amortizes k-fold. Metrics come back
+    stacked (k, ...) and the loop accounts each microbatch exactly as at
+    k=1 (curriculum CER is at most k steps stale — the sampler already
+    tolerates that).
+    """
+    body = _train_step_body(model, tx, cfg)
+
+    def multi_step(state: TrainState, stacked, keys, live, shared):
+        def scan_body(s, x):
+            batch, key, lv = x
+            b = dict(batch)
+            b.update(shared)
+            return body(s, b, key, lv)
+
+        return jax.lax.scan(scan_body, state, (stacked, keys, live))
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, cfg: StepConfig = StepConfig()) -> Callable:
