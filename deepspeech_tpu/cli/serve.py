@@ -56,14 +56,10 @@ def main(argv=None) -> int:
 
     model, state, labels, audio_conf, _ = load_inference_model(
         args.continue_from)
-    if getattr(model, "bidirectional", None) is None:
-        raise SystemExit(
-            f"serve requires the DS2 recurrent model; this checkpoint is "
-            f"{type(model).__name__} (CNN family, no chunkable recurrent "
-            "state) — use test.py for offline batches")
-    if model.bidirectional:
-        raise SystemExit("serve requires a unidirectional model "
-                         "(streaming lookahead head); this checkpoint is "
+    if getattr(model, "bidirectional", False):
+        raise SystemExit("serve requires a streamable model: a "
+                         "unidirectional DS2 (lookahead head) or any CNN "
+                         "stack (chunked overlap-save); this checkpoint is "
                          "bidirectional — use test.py for offline batches")
 
     wavs = []

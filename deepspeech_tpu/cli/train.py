@@ -601,8 +601,12 @@ def main(argv=None, observers=()) -> int:
             # longest-first: peak memory load on the very first batches
             # (reference train.py:93-94, 933-935)
             sampler.reverse()
+        # prefetch must cover a whole dispatch group: pull_group() drains
+        # spd batches in a burst, and a 2-deep queue would serialize the
+        # loader against the k-step device program
         loader = AudioDataLoader(train_dataset, sampler, _pad_bs(per_host_batch),
-                                 bucket, args.num_workers)
+                                 bucket, args.num_workers,
+                                 prefetch=max(2, spd + 1))
 
         loss_meter = AverageMeter()
         watch = StopWatch()

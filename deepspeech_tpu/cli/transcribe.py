@@ -69,14 +69,25 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
     (exactly equal to the one-shot device beam search)."""
     from deepspeech_tpu.audio.dsp import resample
     from deepspeech_tpu.audio.io import load_audio_norm
-    from deepspeech_tpu.serve import StreamingTranscriber
+    from deepspeech_tpu.models.cnn import ConvStack
+    from deepspeech_tpu.serve import CNNStreamingTranscriber, StreamingTranscriber
 
     y, sr = load_audio_norm(audio_path, channel=channel)
     if sr != audio_conf.sample_rate:
         y = resample(y, sr, audio_conf.sample_rate)
-    chunk_frames = max(4, 2 * round(chunk_seconds * audio_conf.sample_rate
-                                    / audio_conf.hop / 2))
-    st = StreamingTranscriber(model,
+    if isinstance(model, ConvStack):
+        # CNN family: chunked overlap-save (serve/streaming_cnn.py);
+        # chunk must be a multiple of the stack's total stride
+        from deepspeech_tpu.serve.streaming_cnn import conv_stack_geometry
+        stride = conv_stack_geometry(model.blocks)[-1][0]
+        cls = CNNStreamingTranscriber
+    else:
+        stride, cls = 2, StreamingTranscriber
+    quantum = stride * 2 if stride % 2 else stride  # DS2 also needs even
+    chunk_frames = max(
+        4, quantum * max(1, round(chunk_seconds * audio_conf.sample_rate
+                                  / audio_conf.hop / quantum)))
+    st = cls(model,
                               {"params": state.params,
                                "batch_stats": state.batch_stats},
                               labels, audio_conf, normalize=norm,

@@ -79,7 +79,16 @@ class ConvBlock(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, train: bool):
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, train: bool,
+                 bounds=None, defer_se: bool = False):
+        """Batch mode: mask by the conv length chain of ``lengths``.
+
+        Streaming mode (serve/streaming_cnn.py) passes ``bounds=(lo, hi)``
+        — window-local valid output range per lane — because a chunk
+        window is an interior slice of the utterance whose start is NOT
+        window index 0, and ``defer_se=True`` to skip the (utterance-
+        global) squeeze-excite + residual add, which the streaming runtime
+        finishes externally with running statistics."""
         in_ch = x.shape[-1]
         features = self.out * 2 if self.use_glu else self.out
         y = nn.Conv(features, (self.kernel,), strides=(self.stride,),
@@ -97,13 +106,24 @@ class ConvBlock(nn.Module):
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
 
-        mask = length_mask(out_lengths, y.shape[1], y.dtype)[:, :, None]
+        if bounds is None:
+            mask = length_mask(out_lengths, y.shape[1], y.dtype)[:, :, None]
+        else:
+            lo, hi = bounds
+            idx = jnp.arange(y.shape[1], dtype=jnp.int32)[None, :]
+            mask = ((idx >= lo[:, None]) & (idx < hi[:, None]))\
+                .astype(y.dtype)[:, :, None]
         y = y * mask
         if self.se_ratio and 0 < self.se_ratio <= 1:
+            red = max(1, int(in_ch * self.se_ratio))
+            if defer_se:
+                # the streaming caller applies se_reduce/se_expand (already
+                # trained batch-mode) to its running squeeze and finishes
+                # gate + residual externally
+                return y, out_lengths
             # squeeze-excite over valid frames (reference model.py:712-716)
             squeezed = (y.sum(axis=1)
                         / jnp.maximum(out_lengths, 1)[:, None]).astype(y.dtype)
-            red = max(1, int(in_ch * self.se_ratio))
             s = nn.Dense(red, name="se_reduce")(squeezed)
             s = nn.Dense(self.out, name="se_expand")(swish(s))
             y = jax.nn.sigmoid(s)[:, None, :] * y

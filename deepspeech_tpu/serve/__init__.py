@@ -10,5 +10,6 @@ normalization statistics) carried as device arrays.
 
 from deepspeech_tpu.serve.pool import StreamPool
 from deepspeech_tpu.serve.streaming import StreamingTranscriber
+from deepspeech_tpu.serve.streaming_cnn import CNNStreamingTranscriber
 
-__all__ = ["StreamingTranscriber", "StreamPool"]
+__all__ = ["StreamingTranscriber", "CNNStreamingTranscriber", "StreamPool"]

@@ -31,8 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deepspeech_tpu.serve.streaming import (_EMIT_LAG_OUT, _INT_SENTINEL,
-                                            StreamingTranscriber)
+from deepspeech_tpu.serve.streaming import _INT_SENTINEL, StreamingTranscriber
+from deepspeech_tpu.serve.streaming_cnn import CNNStreamingTranscriber
 
 FREE, PENDING, ACTIVE, CLOSING = range(4)
 
@@ -52,8 +52,11 @@ class StreamPool:
                  beam_max_len: int = 1000, collect_logits: bool = False,
                  lm_path: str | None = None, lm_alpha: float = 0.8,
                  lm_beta: float = 1.0):
-        self._st = StreamingTranscriber(
-            model, variables, labels, audio_conf, normalize=normalize,
+        from deepspeech_tpu.models.cnn import ConvStack
+        cls = (CNNStreamingTranscriber if isinstance(model, ConvStack)
+               else StreamingTranscriber)
+        self._st = cls(
+            model, variables, labels, audio_conf=audio_conf, normalize=normalize,
             chunk_frames=chunk_frames, batch_size=slots,
             frozen_norm=frozen_norm, decoder=decoder, beam_width=beam_width,
             cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
@@ -65,8 +68,9 @@ class StreamPool:
         self._pad = g.n_fft // 2
         self._A = g.chunk_samples
         self._appended = 0          # device frame counter mirror
-        self._conv_base = -_EMIT_LAG_OUT
-        self._ctx = model.context
+        self._conv_base = -self._st._emit_lag
+        self._ctx = self._st._extra_delay
+        self._stride = self._st._out_stride  # input frames per model output
         self.underruns = np.zeros(slots, np.int64)
         self._state = [FREE] * slots
         self._buf = [np.zeros(0, np.float32) for _ in range(slots)]
@@ -126,7 +130,7 @@ class StreamPool:
         self._total[slot] = total
         t_total = 1 + total // self._st.geo.hop
         self._t_frames[slot] = t_total
-        self._t_out[slot] = (t_total - 1) // 2 + 1
+        self._t_out[slot] = self._st._out_len(t_total)
         # reflect end pad from the last pad+1 real samples
         last = np.concatenate([self._tail[slot], self._buf[slot]])
         last = last[-(self._pad + 1):]
@@ -180,9 +184,7 @@ class StreamPool:
                     else np.zeros(pad, np.float32)
                 c = st._carry
                 c["wave_tail"] = c["wave_tail"].at[s].set(jnp.asarray(wave_tail))
-                c["rnn_h"] = c["rnn_h"].at[:, s].set(0.0)
-                c["rnn_c"] = c["rnn_c"].at[:, s].set(0.0)
-                c["la_buf"] = c["la_buf"].at[s].set(0.0)
+                st.reset_slot_carry(s)  # model-family state (RNN/SE/...)
                 if st._beam_state is not None:
                     from deepspeech_tpu.decoders.beam_device import \
                         beam_state_init
@@ -239,7 +241,7 @@ class StreamPool:
         if st._beam_state is not None:
             idx = (anchor_base_global
                    + np.arange(g.emit, dtype=np.int64)[None, :]
-                   - (self._start[:, None] // 2))
+                   - (self._start[:, None] // self._stride))
             # Beam offsets pack (frame+1)*64+char into int32, so frame
             # indices past 2^25 would silently wrap; enforce the documented
             # cap here instead of relying on the idle-time rebase.
@@ -263,7 +265,7 @@ class StreamPool:
         for s in range(self.slots):
             if self._state[s] not in (ACTIVE, CLOSING):
                 continue
-            base_rel = anchor_base_global - int(self._start[s]) // 2
+            base_rel = anchor_base_global - int(self._start[s]) // self._stride
             if self._collect_logits:
                 self._logit_blocks[s].append((base_rel, logits[s]))
             frag = []
@@ -292,7 +294,7 @@ class StreamPool:
             # device carry casts to int32; without this, ~2^31 frames of
             # uptime would silently corrupt every validity mask)
             self._appended = 0
-            self._conv_base = -_EMIT_LAG_OUT
+            self._conv_base = -self._st._emit_lag
             self._start[:] = 0
             c = self._st._carry
             c["appended"] = jnp.zeros_like(c["appended"])

@@ -105,16 +105,9 @@ class StreamingTranscriber:
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
                  beam_max_len: int = 1000, lm_path: str | None = None,
                  lm_alpha: float = 0.8, lm_beta: float = 1.0):
-        if getattr(model, "bidirectional", None) is None:
-            raise ValueError(
-                f"streaming requires the DS2 recurrent model; "
-                f"{type(model).__name__} (a CNN-family acoustic model) has "
-                "no chunkable recurrent state — use batch transcription")
-        if model.bidirectional:
-            raise ValueError("streaming requires a unidirectional model "
-                             "(lookahead head, reference model.py:329-333)")
-        if chunk_frames % 2 or chunk_frames < 4:
-            raise ValueError("chunk_frames must be even and >= 4")
+        self._validate_model(model)
+        if chunk_frames < 4:
+            raise ValueError("chunk_frames must be >= 4")
         conf = audio_conf or AudioConf()
         if conf.n_fft != 2 * conf.hop:
             raise ValueError("streaming assumes 50%-overlap STFT framing "
@@ -124,18 +117,14 @@ class StreamingTranscriber:
         self.labels = labels
         self.conf = conf
         self.normalize = normalize
-        self.geo = _Geometry(chunk_frames=chunk_frames, hop=conf.hop,
-                             n_fft=conf.n_fft, emit=chunk_frames // 2,
-                             window_frames=chunk_frames + _CTX_F)
         self.batch_size = batch_size
         self.frozen_norm = frozen_norm
         self._window = make_window(conf.window, conf.n_fft)
-        self._step = jax.jit(functools.partial(_chunk_step,
-                                               model=model,
-                                               geo=self.geo,
-                                               normalize=normalize,
-                                               window=self._window,
-                                               frozen=frozen_norm is not None))
+        # model-family hooks: geometry (also sets _emit_lag/_extra_delay)
+        # and the un-jitted forward the fused beam step reuses
+        self.geo = self._build_geometry(chunk_frames)
+        self._forward = self._make_forward()
+        self._step = jax.jit(self._forward)
         # optional streaming prefix beam search riding the same emission
         # (decoders/beam_device.py continuation API): chunked == one-shot
         # exactly, since invalid steps are score-preserving blanks
@@ -169,14 +158,14 @@ class StreamingTranscriber:
             # closure capture — captured arrays would be baked into the
             # jitted program as constants (duplicating a potentially
             # hundreds-of-MB n-gram table per compile)
+            forward = self._forward
+
             def _fused(carry, chunk, t_frames, t_out, start, variables,
                        beam_state, beam_ts, beam_valid, lm):
                 from deepspeech_tpu.decoders.beam_device import \
                     beam_continue_impl
-                carry, logits = _chunk_step(
-                    carry, chunk, t_frames, t_out, start, variables,
-                    model=model, geo=self.geo, normalize=normalize,
-                    window=self._window, frozen=frozen_norm is not None)
+                carry, logits = forward(
+                    carry, chunk, t_frames, t_out, start, variables)
                 beam_state = beam_continue_impl(
                     beam_state, logits, beam_ts, beam_valid, blank=blank,
                     cutoff_top_n=cutoff_top_n,
@@ -188,12 +177,59 @@ class StreamingTranscriber:
             self._step_beam = jax.jit(_fused)
         self.reset()
 
+    # -- model-family hooks (CNNStreamingTranscriber overrides these) -------
+
+    def _validate_model(self, model):
+        if getattr(model, "bidirectional", None) is None:
+            raise ValueError(
+                f"{type(model).__name__} is a CNN-family acoustic model — "
+                "use serve.CNNStreamingTranscriber (chunked overlap-save "
+                "conv streaming) instead of the DS2 recurrent runtime")
+        if model.bidirectional:
+            raise ValueError("streaming requires a unidirectional model "
+                             "(lookahead head, reference model.py:329-333)")
+
+    def _build_geometry(self, chunk_frames: int) -> _Geometry:
+        if chunk_frames % 2:
+            raise ValueError("chunk_frames must be even")
+        self._emit_lag = _EMIT_LAG_OUT
+        self._extra_delay = self.model.context  # lookahead output delay
+        self._out_stride = 2  # input frames per conv output (stride-2 front)
+        return _Geometry(chunk_frames=chunk_frames, hop=self.conf.hop,
+                         n_fft=self.conf.n_fft, emit=chunk_frames // 2,
+                         window_frames=chunk_frames + _CTX_F)
+
+    def _make_forward(self):
+        """Un-jitted (carry, chunk, t_frames, t_out, start, variables) ->
+        (carry, (B, emit, C) logits)."""
+        return functools.partial(_chunk_step, model=self.model, geo=self.geo,
+                                 normalize=self.normalize,
+                                 window=self._window,
+                                 frozen=self.frozen_norm is not None)
+
+    def _out_len(self, t_frames: int) -> int:
+        """Model output count for a t_frames-frame utterance
+        (DS2 conv front: ceil-div by the stride-2 conv, ds2.py)."""
+        return (t_frames - 1) // 2 + 1
+
+    def _init_model_carry(self, zeros) -> dict:
+        m, b = self.model, self.batch_size
+        h = m.hidden_size
+        return {"rnn_h": zeros(m.hidden_layers, b, h),
+                "rnn_c": zeros(m.hidden_layers, b, h),
+                "la_buf": zeros(b, m.context, h)}
+
+    def reset_slot_carry(self, s: int):
+        """Zero one lane's model state in place (StreamPool slot reuse)."""
+        c = self._carry
+        c["rnn_h"] = c["rnn_h"].at[:, s].set(0.0)
+        c["rnn_c"] = c["rnn_c"].at[:, s].set(0.0)
+        c["la_buf"] = c["la_buf"].at[s].set(0.0)
+
     # -- stream lifecycle --------------------------------------------------
 
     def reset(self):
-        m, g, b = self.model, self.geo, self.batch_size
-        h = m.hidden_size
-        layers = m.hidden_layers
+        g, b = self.geo, self.batch_size
         zeros = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
         self._carry = {
             "wave_tail": zeros(b, g.n_fft - g.hop),
@@ -201,11 +237,9 @@ class StreamingTranscriber:
             "norm_sum": zeros(b),
             "norm_cnt": zeros(b),
             "norm_std_sum": zeros(b),
-            "rnn_h": zeros(layers, b, h),
-            "rnn_c": zeros(layers, b, h),
-            "la_buf": zeros(b, m.context, h),
             "appended": jnp.zeros((), jnp.int32),
         }
+        self._carry.update(self._init_model_carry(zeros))
         if self.frozen_norm is not None:
             mean, std = self.frozen_norm
             self._carry["norm_sum"] = jnp.asarray(mean, jnp.float32)
@@ -215,7 +249,7 @@ class StreamingTranscriber:
         self._started = False
         self._finished = False
         self._samples = 0
-        self._conv_base = -_EMIT_LAG_OUT   # global idx of next emitted convs
+        self._conv_base = -self._emit_lag  # global idx of next emitted convs
         self._t_frames = np.full(self.batch_size, _INT_SENTINEL, np.int64)
         self._t_out = np.full(self.batch_size, _INT_SENTINEL, np.int64)
         self._prev_id = [None] * self.batch_size
@@ -261,7 +295,7 @@ class StreamingTranscriber:
             raise ValueError(f"stream too short ({total} samples)")
         t_total = 1 + total // g.hop                   # frames (features.py:79)
         self._t_frames[:] = t_total
-        self._t_out[:] = (t_total - 1) // 2 + 1        # conv_out_lengths
+        self._t_out[:] = self._out_len(t_total)        # model out_lengths
         # reflect end pad (np.pad mode="reflect"), enough for the final
         # centered frame; trailing zeros beyond it are masked invalid in-jit
         tail_src = y[:, -(pad + 1):]
@@ -345,7 +379,7 @@ class StreamingTranscriber:
 
     def _run_chunk(self, chunk: np.ndarray) -> list[str]:
         g = self.geo
-        anchor_base = self._conv_base - self.model.context
+        anchor_base = self._conv_base - self._extra_delay
         args = (self._carry, jnp.asarray(chunk),
                 jnp.asarray(np.minimum(self._t_frames, _INT_SENTINEL)
                             .astype(np.int32)),
@@ -394,21 +428,15 @@ class StreamingTranscriber:
 # the jitted chunk step
 # ---------------------------------------------------------------------------
 
-def _chunk_step(carry, audio, t_frames_total, t_out_total, start_frames,
-                variables, *,
-                model: DeepSpeech2, geo: _Geometry, normalize: str,
-                window: np.ndarray, frozen: bool):
-    """One streaming step: (carry, (B, K*hop) samples) -> (carry,
-    (B, K/2, C) logits anchored ``context`` conv outputs in the past).
-
-    ``start_frames`` (B,) int32 (even): the global frame index where each
-    lane's stream begins — 0 for lockstep streams; the continuous-batching
-    pool (StreamPool) points it at the chunk boundary where a stream joined
-    its slot, so every validity test below is stream-relative and a lane
-    can be reassigned to a new stream without touching the shared buffers
-    (stale frames land at negative relative indices and mask to zero)."""
+def _frontend_step(carry, audio, t_frames_total, start_frames, *,
+                   geo: _Geometry, normalize: str, window: np.ndarray,
+                   frozen: bool):
+    """Shared streaming front-end: K new STFT frames into the magnitude
+    ring buffer + running normalization scalars. Model-agnostic — the DS2
+    chunk step and the CNN-family step (serve/streaming_cnn.py) both ride
+    it. Returns (carry-updates dict, normalized spect window (B, 161, W),
+    frame validity (B, W))."""
     k = geo.chunk_frames
-    e = geo.emit
     w = geo.window_frames
     b = audio.shape[0]
 
@@ -470,6 +498,35 @@ def _chunk_step(carry, audio, t_frames_total, t_out_total, start_frames,
     else:
         raise ValueError(f"No such normalization: {normalize}")
     spect = spect * valid_f[:, None, :].astype(spect.dtype)
+
+    fe = dict(wave_tail=audio[:, -(geo.n_fft - geo.hop):],
+              mag_buf=mag_buf, norm_sum=norm_sum, norm_cnt=norm_cnt,
+              norm_std_sum=norm_std, appended=appended)
+    return fe, spect, valid_f
+
+
+def _chunk_step(carry, audio, t_frames_total, t_out_total, start_frames,
+                variables, *,
+                model: DeepSpeech2, geo: _Geometry, normalize: str,
+                window: np.ndarray, frozen: bool):
+    """One streaming step: (carry, (B, K*hop) samples) -> (carry,
+    (B, K/2, C) logits anchored ``context`` conv outputs in the past).
+
+    ``start_frames`` (B,) int32 (even): the global frame index where each
+    lane's stream begins — 0 for lockstep streams; the continuous-batching
+    pool (StreamPool) points it at the chunk boundary where a stream joined
+    its slot, so every validity test below is stream-relative and a lane
+    can be reassigned to a new stream without touching the shared buffers
+    (stale frames land at negative relative indices and mask to zero)."""
+    k = geo.chunk_frames
+    e = geo.emit
+    w = geo.window_frames
+    b = audio.shape[0]
+
+    fe, spect, valid_f = _frontend_step(
+        carry, audio, t_frames_total, start_frames,
+        geo=geo, normalize=normalize, window=window, frozen=frozen)
+    appended = fe["appended"]
 
     # ---- conv stack over the window ---------------------------------------
     wp = (w - 1) // 2 + 1
@@ -555,10 +612,7 @@ def _chunk_step(carry, audio, t_frames_total, t_out_total, start_frames,
         _DEBUG.append({"x": x, "valid_o": valid_o, "o_idx": o_idx,
                        "y": y, "la": la, "spect": spect})
     new_carry = dict(carry)
-    new_carry.update(
-        wave_tail=audio[:, -(geo.n_fft - geo.hop):],
-        mag_buf=mag_buf,
-        norm_sum=norm_sum, norm_cnt=norm_cnt, norm_std_sum=norm_std,
-        rnn_h=jnp.stack(rnn_h), rnn_c=jnp.stack(rnn_c),
-        la_buf=la_buf, appended=appended)
+    new_carry.update(fe)
+    new_carry.update(rnn_h=jnp.stack(rnn_h), rnn_c=jnp.stack(rnn_c),
+                     la_buf=la_buf)
     return new_carry, logits.astype(jnp.float32)

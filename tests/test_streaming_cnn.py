@@ -1,0 +1,222 @@
+"""CNN-family streaming vs the batch forward (serve/streaming_cnn.py).
+
+Without squeeze-excitation the chunked overlap-save stream must match the
+batch ConvStack forward to float-accumulation tolerance for every emitted
+frame (reference CNN models are batch-only, model.py:506-607, 906-998 —
+streaming them live is capability beyond the reference).  With SE, the
+utterance-global gate is approximated by a running mean; its *plumbing*
+is pinned exactly: constant-gate weights make running == batch bitwise,
+and the carried counts must equal the true per-layer valid lengths.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepspeech_tpu.audio import AudioConf
+from deepspeech_tpu.audio.features import featurize_batch
+from deepspeech_tpu.models.cnn import (
+    ConvStack,
+    build_cnn_model,
+    conv1d_out_length,
+    residual_wav2letter_blocks,
+)
+from deepspeech_tpu.serve import CNNStreamingTranscriber, StreamingTranscriber
+from deepspeech_tpu.serve.streaming_cnn import conv_stack_geometry
+from deepspeech_tpu.text import Labels
+
+EN_LABELS = "_'ABCDEFGHIJKLMNOPQRSTUVWXYZ2 "
+
+
+def _audio(seconds=2.3, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    t = np.arange(n) / 16000
+    y = (0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    return y
+
+
+def _init(model, seed=0):
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 161, 51)), jnp.asarray([51]), False)
+
+
+def _batch_logits(model, variables, y, conf, normalize="none"):
+    audio = jnp.asarray(y)[None, :]
+    lengths = jnp.asarray([len(y)])
+    spect, frame_lengths = featurize_batch(audio, lengths, conf,
+                                           normalize=normalize)
+    logits, _, out_lens = model.apply(variables, spect, frame_lengths, False)
+    return np.asarray(logits)[0, : int(out_lens[0])], int(out_lens[0])
+
+
+def _stream(model, variables, y, chunk_frames, **kw):
+    st = CNNStreamingTranscriber(model, variables, Labels(EN_LABELS),
+                                 audio_conf=AudioConf(), normalize="none",
+                                 chunk_frames=chunk_frames, **kw)
+    st.feed(y)
+    st.finish()
+    return st
+
+
+@pytest.mark.parametrize("chunk_frames", [40, 96])
+def test_wav2letter_streaming_matches_batch(chunk_frames):
+    model = build_cnn_model("cnn", 30, cnn_width=32, hidden_size=48,
+                            hidden_layers=1)
+    variables = _init(model)
+    y = _audio()
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, chunk_frames)
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_residual_no_se_streaming_matches_batch():
+    blocks = residual_wav2letter_blocks(48, 32, 2, 0.0, 0.1, se_ratio=0.0)
+    model = ConvStack(blocks=tuple(blocks), num_classes=30)
+    variables = _init(model)
+    y = _audio(seconds=1.9, seed=2)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48)
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_glu_small_stride1_streaming_matches_batch():
+    model = build_cnn_model("glu_small", 30, hidden_layers=3)
+    variables = _init(model)
+    y = _audio(seconds=1.3, seed=4)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 50)  # total stride 1: any chunk size
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_running_se_constant_gate_matches_batch_and_counts():
+    """Zeroed se_reduce/se_expand kernels make the SE gate input-
+    independent, so running-SE must equal the batch forward exactly —
+    pinning the gate application, skip-add, and emission plumbing.  The
+    carried counts must equal the true per-layer valid output lengths."""
+    model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=2)
+    variables = _init(model)
+    params = jax.tree_util.tree_map(
+        lambda x: np.array(x, copy=True), variables["params"])
+    rng = np.random.default_rng(7)
+    for name, block in params.items():
+        if isinstance(block, dict) and "se_expand" in block:
+            block["se_reduce"]["kernel"] = np.zeros_like(
+                block["se_reduce"]["kernel"])
+            block["se_reduce"]["bias"] = rng.standard_normal(
+                block["se_reduce"]["bias"].shape).astype(np.float32)
+            block["se_expand"]["kernel"] = np.zeros_like(
+                block["se_expand"]["kernel"])
+            block["se_expand"]["bias"] = rng.standard_normal(
+                block["se_expand"]["bias"].shape).astype(np.float32)
+    variables = dict(variables, params=params)
+
+    y = _audio(seconds=1.7, seed=5)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48)
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    # running counts: every valid frame of every SE layer, exactly once
+    t_frames = 1 + len(y) // AudioConf().hop
+    lens = t_frames
+    for i, spec in enumerate(model.blocks):
+        lens = conv1d_out_length(lens, spec["kernel"], spec.get("stride", 1),
+                                 spec.get("padding", 0),
+                                 spec.get("dilation", 1))
+        if f"se_cnt{i}" in st._carry:
+            assert int(st._carry[f"se_cnt{i}"][0]) == lens, (i, lens)
+
+
+def test_running_se_approximation_smoke():
+    """Default (data-dependent) SE: the stream runs, emits the right
+    count, and the final-chunk gates use all-frames statistics."""
+    model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=1)
+    variables = _init(model)
+    y = _audio(seconds=1.3, seed=6)
+    _, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48)
+    assert st.collected_logits()[0].shape[0] == t_out
+    assert np.isfinite(st.collected_logits()[0]).all()
+
+
+def test_se_mode_error_refuses():
+    model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=1)
+    variables = _init(model)
+    with pytest.raises(ValueError, match="squeeze-excitation"):
+        CNNStreamingTranscriber(model, variables, Labels(EN_LABELS),
+                                se_mode="error")
+
+
+def test_model_family_cross_checks():
+    from deepspeech_tpu.models import DeepSpeech2
+    cnn = build_cnn_model("cnn", 30, cnn_width=16, hidden_size=16,
+                          hidden_layers=1)
+    ds2 = DeepSpeech2(num_classes=30, hidden_size=16, hidden_layers=1,
+                      cell="gru", bidirectional=False)
+    with pytest.raises(ValueError, match="CNNStreamingTranscriber"):
+        StreamingTranscriber(cnn, {}, Labels(EN_LABELS))
+    with pytest.raises(ValueError, match="StreamingTranscriber"):
+        CNNStreamingTranscriber(ds2, {}, Labels(EN_LABELS))
+
+
+def test_geometry_fold():
+    # wav2letter: k13 s2 p6 | k13 p6 | k31 p15 | k1 -> A=2, span +-48
+    blocks = [dict(kernel=13, stride=2, padding=6),
+              dict(kernel=13, stride=1, padding=6),
+              dict(kernel=31, stride=1, padding=15),
+              dict(kernel=1, stride=1, padding=0)]
+    a, lo, hi = conv_stack_geometry(blocks)[-1]
+    assert (a, lo, hi) == (2, -48, 48)
+    # dilation: k29 d4 p56 is symmetric (jasper epilog)
+    a, lo, hi = conv_stack_geometry([dict(kernel=29, dilation=4,
+                                          padding=56)])[-1]
+    assert (a, lo, hi) == (1, -56, 56)
+
+
+def test_stream_pool_cnn_continuous_batching():
+    """CNN models through StreamPool: slot 2 joins at a nonzero chunk
+    boundary (per-lane start offsets + stale window masking) and both
+    streams' logits match the batch forward."""
+    from deepspeech_tpu.serve import StreamPool
+    model = build_cnn_model("cnn", 30, cnn_width=16, hidden_size=24,
+                            hidden_layers=1)
+    variables = _init(model)
+    y1, y2 = _audio(1.1, 8), _audio(0.9, 9)
+
+    pool = StreamPool(model, variables, Labels(EN_LABELS),
+                      audio_conf=AudioConf(), normalize="none",
+                      chunk_frames=40, slots=2, collect_logits=True)
+    s1 = pool.open()
+    pool.write(s1, y1)
+    pool.close(s1)
+    pool.tick()
+    pool.tick()
+    s2 = pool.open()  # joins mid-pool: start_frames > 0 for this lane
+    pool.write(s2, y2)
+    pool.close(s2)
+    for _ in range(200):
+        if pool.done(s1) and pool.done(s2):
+            break
+        pool.tick()
+    assert pool.done(s1) and pool.done(s2)
+
+    ref1, _ = _batch_logits(model, variables, y1, AudioConf())
+    ref2, _ = _batch_logits(model, variables, y2, AudioConf())
+    np.testing.assert_allclose(pool.collected_logits(s1), ref1,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(pool.collected_logits(s2), ref2,
+                               rtol=2e-4, atol=2e-4)
