@@ -77,9 +77,13 @@ def load_lm(path: str | None):
         return None
     from deepspeech_tpu.decoders.lm_binary import BinaryLM, is_dslm
     from deepspeech_tpu.decoders.lm_kenlm import KenLMProbing, is_kenlm
+    from deepspeech_tpu.decoders.lm_trie import TRIE_TYPES, KenLMTrie, \
+        kenlm_model_type
     if is_dslm(path):
         return BinaryLM(path)
     if is_kenlm(path):
+        if kenlm_model_type(path) in TRIE_TYPES:
+            return KenLMTrie(path)
         return KenLMProbing(path)
     return ArpaLM(path)
 

@@ -16,9 +16,10 @@ backoff (log10), by reimplementing KenLM's probing lookup:
 * orders 2..N-1: linear-probing hash tables of chained-word-hash ->
   (prob, backoff); top order maps to prob only.
 
-Only the PROBING model type is supported. The TRIE types are bit-packed
-(and optionally quantized) and are rejected with guidance to use the
-textual ARPA -> DSLM path instead. Conversion of a probing binary into the
+This module reads the PROBING model type; KenLM TRIE binaries load
+through the sibling reader ``decoders/lm_trie.py`` (``load_lm``
+dispatches on the model-type field automatically). Conversion of a
+probing binary into the
 DSLM trie (decoders/lm_binary.py) is *information-theoretically impossible*
 — probing stores only one-way hashes of the n-grams, never the word
 tuples — so this reader QUERIES the artifact rather than converting it;
@@ -142,9 +143,9 @@ class KenLMProbing:
         has_vocab = mm[ss + 12] != 0
         if model_type != MODEL_PROBING:
             raise ValueError(
-                f"{path}: KenLM model type {model_type} (trie family) is "
-                "bit-packed and not supported; pass the textual ARPA or a "
-                "DSLM file instead")
+                f"{path}: KenLM model type {model_type} is not the probing "
+                "format; trie binaries load via decoders/lm_trie.KenLMTrie "
+                "(load_lm dispatches automatically)")
         counts = [int(c) for c in
                   np.frombuffer(mm, np.uint64, order,
                                 ss + _FIXED_PARAMS_SIZE)]

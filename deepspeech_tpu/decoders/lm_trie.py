@@ -1,0 +1,351 @@
+"""KenLM ``.binary`` TRIE-format reader (model type 2).
+
+Completes the KenLM artifact coverage started by ``lm_kenlm.py`` (probing,
+type 0): reference deployments pass either format straight to ctcdecode
+(reference decoder.py:95-99, opts.py:5-7), and ``build_binary trie`` is
+the documented memory-saving default for big models.  Like the probing
+reader this QUERIES the artifact in place (mmap) — conversion to the DSLM
+trie is not attempted — and answers ``score_word`` with ArpaLM-compatible
+Katz backoff (log10).
+
+Layout read (format version 5, unquantized, no Bhiksha array compression):
+
+* header: ``Sanity`` + ``FixedWidthParameters`` + counts (as probing);
+* vocabulary: SortedVocabulary — a leading entry-count u64, then the
+  sorted MurmurHash64A values of every word EXCEPT ``<unk>``; a word's id
+  is its sorted position + 1, ``<unk>`` = 0;
+* unigram: dense ``{float prob; float backoff; u64 next}`` records
+  (ids 0..V-1 plus a terminator whose ``next`` ends the last range);
+* middle orders 2..N-1: bit-packed entries of
+  ``[word | prob(31) | backoff(32) | next]`` — KenLM stores non-positive
+  floats in 31 bits (sign dropped) and bit-streams LSB-first; ``word``
+  uses enough bits for the vocab bound and ``next`` for the next level's
+  entry count; entries are sorted by word id within each parent's
+  ``[next[i], next[i+1])`` range, terminated by one extra entry;
+* longest order: ``[word | prob(31)]`` entries, no children;
+* trailing null-delimited word strings when the binary carries them.
+
+The trie stores n-grams in SUFFIX order: the n-gram (a b c) with c newest
+lives on the path c -> b -> a, so a lookup walks unigram[c], finds b among
+c's children, then a.  Nodes inserted only to carry children (the ARPA
+had no such n-gram) hold prob = -inf and behave as lookup misses, exactly
+like ArpaLM's absent entries.
+
+Quantized (types 3, 5) and Bhiksha-array (4, 5) variants are rejected
+with guidance — their payloads are lossy re-encodings, so the honest
+paths are this reader on an unquantized trie, the probing reader, or the
+textual ARPA.
+
+Caveat (same as the probing reader): no kenlm runtime or real binaries
+exist in this environment (zero egress); the byte layout is implemented
+from the public format and validated against an independent in-test
+writer (tests/test_lm_trie.py) plus ArpaLM score parity.  Structural
+invariants (every level's terminator pointer must equal the next level's
+entry count, ranges monotone, section offsets landing exactly on the
+word-strings table) are checked at load time and raise on any mismatch —
+a real-world layout difference fails loudly, never silently as <unk>.
+"""
+
+from __future__ import annotations
+
+import mmap
+
+import numpy as np
+
+from deepspeech_tpu.decoders.lm_kenlm import (
+    _FIXED_PARAMS_SIZE,
+    MAGIC,
+    _align8,
+    murmur_hash64a,
+    sanity_size,
+)
+
+MODEL_TRIE = 2
+MODEL_QUANT_TRIE = 3
+MODEL_ARRAY_TRIE = 4
+MODEL_QUANT_ARRAY_TRIE = 5
+TRIE_TYPES = (MODEL_TRIE, MODEL_QUANT_TRIE, MODEL_ARRAY_TRIE,
+              MODEL_QUANT_ARRAY_TRIE)
+
+_NEG_INF = float("-inf")
+
+
+def required_bits(max_value: int) -> int:
+    """Bits needed to store values in [0, max_value]."""
+    return max(int(max_value).bit_length(), 1)
+
+
+def kenlm_model_type(path: str):
+    """Model type of a KenLM binary, or None if not one."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(sanity_size() + 16)
+    except OSError:
+        return None
+    if head[: len(MAGIC)] != MAGIC:
+        return None
+    ss = sanity_size()
+    return int(np.frombuffer(head, np.int32, 1, ss + 8)[0])
+
+
+def is_kenlm_trie(path: str) -> bool:
+    return kenlm_model_type(path) in TRIE_TYPES
+
+
+class _BitArray:
+    """LSB-first bit stream over a byte buffer (util/bit_packing.hh
+    semantics: an 8-byte little-endian load at bit>>3, shifted by bit&7)."""
+
+    def __init__(self, buf: np.ndarray):
+        # pad so 8-byte loads at the final bits stay in bounds
+        self._b = np.concatenate([buf, np.zeros(8, np.uint8)])
+
+    def read(self, bit: int, n: int) -> int:
+        byte = bit >> 3
+        word = int.from_bytes(self._b[byte: byte + 9].tobytes(), "little")
+        return (word >> (bit & 7)) & ((1 << n) - 1)
+
+
+def _float_from_np31(bits31: int) -> float:
+    """Inverse of KenLM WriteNonPositiveFloat31: restore the sign bit."""
+    return float(np.uint32(bits31 | 0x80000000).view(np.float32))
+
+
+def _float_from_bits(bits32: int) -> float:
+    return float(np.uint32(bits32).view(np.float32))
+
+
+class KenLMTrie:
+    """mmap-backed TRIE query reader with ArpaLM-compatible scoring."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        mm = self._mm
+        if mm[: len(MAGIC)] != MAGIC:
+            raise ValueError(f"{path}: not a KenLM binary")
+        ss = sanity_size()
+        floats = np.frombuffer(mm, np.float32, 3, (len(MAGIC) + 1 + 3) // 4 * 4)
+        if not (floats[0] == 0.0 and floats[1] == 1.0 and floats[2] == -0.5):
+            raise ValueError(f"{path}: KenLM sanity header mismatch "
+                             "(incompatible format revision)")
+        order = int(mm[ss])
+        self.order = order
+        model_type = int(np.frombuffer(mm, np.int32, 1, ss + 8)[0])
+        if model_type in (MODEL_QUANT_TRIE, MODEL_QUANT_ARRAY_TRIE):
+            raise ValueError(
+                f"{path}: quantized trie (type {model_type}) stores lossy "
+                "re-encoded probabilities; rebuild without -q (plain trie) "
+                "or pass the textual ARPA")
+        if model_type == MODEL_ARRAY_TRIE:
+            raise ValueError(
+                f"{path}: Bhiksha-array trie (type {model_type}) is not "
+                "supported; rebuild without -a (plain trie) or pass the "
+                "textual ARPA")
+        if model_type != MODEL_TRIE:
+            raise ValueError(f"{path}: not a trie-format binary "
+                             f"(model type {model_type}); use KenLMProbing")
+        has_vocab = mm[ss + 12] != 0
+        counts = [int(c) for c in
+                  np.frombuffer(mm, np.uint64, order,
+                                ss + _FIXED_PARAMS_SIZE)]
+        self.counts = counts
+        self.vocab_size = counts[0]
+        off = _align8(ss + _FIXED_PARAMS_SIZE + 8 * order)
+
+        # -- SortedVocabulary: [u64 count][sorted hashes (no <unk>)] --------
+        n_vocab = int(np.frombuffer(mm, np.uint64, 1, off)[0])
+        if n_vocab != counts[0] - 1:
+            raise ValueError(
+                f"{path}: vocab entry count {n_vocab} != unigrams-1 "
+                f"({counts[0] - 1}); incompatible trie layout")
+        off += 8
+        self._vocab_hashes = np.frombuffer(mm, np.uint64, n_vocab, off)
+        if n_vocab and np.any(self._vocab_hashes[1:]
+                              <= self._vocab_hashes[:-1]):
+            raise ValueError(f"{path}: vocab hash array not sorted; "
+                             "incompatible trie layout")
+        off += 8 * n_vocab
+
+        # -- unigram: (V + 2) x {f32 prob, f32 backoff, u64 next} ----------
+        v = counts[0]
+        raw = np.frombuffer(mm, np.uint8, 16 * (v + 1), off)
+        self._uni_pb = raw.view(np.float32).reshape(-1, 4)[:, :2]
+        self._uni_next = raw.view(np.uint64).reshape(-1, 2)[:, 1]
+        off += 16 * (v + 2)  # one terminator + one padding record
+        if order > 1:
+            nxt = self._uni_next.astype(np.int64)
+            if int(nxt[v]) != counts[1] or np.any(np.diff(nxt) < 0):
+                raise ValueError(
+                    f"{path}: unigram child ranges inconsistent (terminator "
+                    f"{int(nxt[v])} != bigram count {counts[1]}); "
+                    "incompatible trie layout")
+
+        # -- middle levels 2..order-1 --------------------------------------
+        word_bits = required_bits(counts[0])  # ids < bound = V (+1 safety)
+        self._middles = []
+        for o in range(2, order):
+            entries = counts[o - 1]
+            next_bits = required_bits(counts[o])
+            total = word_bits + 31 + 32 + next_bits
+            nbytes = ((entries + 1) * total + 7) // 8 + 8
+            bits = _BitArray(np.frombuffer(mm, np.uint8, nbytes, off))
+            level = dict(bits=bits, entries=entries, total=total,
+                         word_bits=word_bits, next_bits=next_bits,
+                         prob_off=word_bits, back_off=word_bits + 31,
+                         next_off=word_bits + 63)
+            self._middles.append(level)
+            off += nbytes
+            term_next = bits.read(entries * total + level["next_off"],
+                                  next_bits)
+            if term_next != counts[o]:
+                raise ValueError(
+                    f"{path}: order-{o} terminator pointer {term_next} != "
+                    f"order-{o + 1} count {counts[o]}; incompatible trie "
+                    "layout")
+
+        # -- longest level --------------------------------------------------
+        if order > 1:
+            entries = counts[order - 1]
+            total = word_bits + 31
+            nbytes = (entries * total + 7) // 8 + 8
+            self._longest = dict(
+                bits=_BitArray(np.frombuffer(mm, np.uint8, nbytes, off)),
+                entries=entries, total=total, word_bits=word_bits)
+            off += nbytes
+        else:
+            self._longest = None
+
+        # -- trailing word strings -----------------------------------------
+        self._wid = {"<unk>": 0}
+        if has_vocab:
+            if off > len(mm):
+                raise ValueError(f"{path}: sections overrun the file; "
+                                 "incompatible trie layout")
+            words = bytes(mm[off:]).split(b"\x00")
+            for i, w in enumerate(words):
+                if i >= counts[0]:
+                    break
+                self._wid[w.decode("utf8", "replace")] = i
+            if len(self._wid) > 1:
+                self._verify_vocab_layout(path)
+
+    def _verify_vocab_layout(self, path: str):
+        """Sampled word-string ids must be recoverable through the sorted
+        hash array (mirrors lm_kenlm._verify_vocab_layout)."""
+        items = [(w, i) for w, i in self._wid.items() if w != "<unk>"]
+        sample = (items[:2] + items[len(items) // 2:len(items) // 2 + 1]
+                  + items[-2:])
+        for w, i in sample:
+            if self._hash_id(w) != i:
+                raise ValueError(
+                    f"{path}: vocab layout mismatch (word {w!r} id {i} not "
+                    f"recoverable from the sorted hash array); the file "
+                    "likely uses an incompatible KenLM format revision")
+
+    def close(self):
+        self._uni_pb = None
+        self._uni_next = None
+        self._vocab_hashes = None
+        self._middles = []
+        self._longest = None
+        self._mm.close()
+        self._f.close()
+
+    # -- lookups -----------------------------------------------------------
+
+    def _hash_id(self, word: str) -> int:
+        h = np.uint64(murmur_hash64a(word.encode("utf8")))
+        i = int(np.searchsorted(self._vocab_hashes, h))
+        if i < len(self._vocab_hashes) and self._vocab_hashes[i] == h:
+            return i + 1
+        return 0
+
+    def word_id(self, word: str) -> int:
+        wid = self._wid.get(word)
+        if wid is not None:
+            return wid
+        return self._hash_id(word)
+
+    def _find_in_level(self, level, begin: int, end: int, wid: int):
+        """Binary search for ``wid`` in the entry range [begin, end)."""
+        bits, total, wb = level["bits"], level["total"], level["word_bits"]
+        lo, hi = begin, end
+        while lo < hi:
+            mid = (lo + hi) // 2
+            w = bits.read(mid * total, wb)
+            if w == wid:
+                return mid
+            if w < wid:
+                lo = mid + 1
+            else:
+                hi = mid
+        return None
+
+    def _lookup(self, ids):
+        """(log10 prob, backoff) of the n-gram ``ids`` (oldest..newest), or
+        None. Walks the suffix trie from the newest word."""
+        n = len(ids)
+        wid = ids[-1]
+        prob = float(self._uni_pb[wid, 0])
+        backoff = float(self._uni_pb[wid, 1])
+        if n == 1:
+            return None if prob == _NEG_INF else (prob, backoff)
+        begin = int(self._uni_next[wid])
+        end = int(self._uni_next[wid + 1])
+        for depth, w in zip(range(2, n + 1), reversed(ids[:-1])):
+            if begin >= end:
+                return None
+            if depth == self.order:
+                lvl = self._longest
+                i = self._find_in_level(lvl, begin, end, w)
+                if i is None:
+                    return None
+                prob = _float_from_np31(
+                    lvl["bits"].read(i * lvl["total"] + lvl["word_bits"], 31))
+                backoff = 0.0
+                break
+            lvl = self._middles[depth - 2]
+            i = self._find_in_level(lvl, begin, end, w)
+            if i is None:
+                return None
+            base = i * lvl["total"]
+            prob = _float_from_np31(lvl["bits"].read(
+                base + lvl["prob_off"], 31))
+            backoff = _float_from_bits(lvl["bits"].read(
+                base + lvl["back_off"], 32))
+            begin = lvl["bits"].read(base + lvl["next_off"],
+                                     lvl["next_bits"])
+            end = lvl["bits"].read(base + lvl["total"] + lvl["next_off"],
+                                   lvl["next_bits"])
+        return None if prob == _NEG_INF else (prob, backoff)
+
+    # -- ArpaLM-compatible API ---------------------------------------------
+
+    def score_word(self, context, word: str) -> float:
+        """log10 P(word | context), Katz backoff (the ArpaLM.score_word
+        walk, decoders/lm.py:42-59). OOV maps to <unk> (KenLM semantics)."""
+        wi = self.word_id(word)
+        ctx = [self.word_id(w) for w in context[-(self.order - 1):]] \
+            if self.order > 1 else []
+        penalty = 0.0
+        while True:
+            hit = self._lookup(ctx + [wi])
+            if hit is not None:
+                return penalty + hit[0]
+            if not ctx:
+                # dense unigrams can only miss via a -inf blank; treat as
+                # the floor ArpaLM would produce for an absent word
+                return penalty + _NEG_INF
+            bo = self._lookup(ctx)
+            if bo is not None:
+                penalty += bo[1]
+            ctx = ctx[1:]
+
+    def score_sentence(self, words, bos: bool = True) -> float:
+        context = ("<s>",) if bos else ()
+        total = 0.0
+        for w in words:
+            total += self.score_word(context, w)
+            context = context + (w,)
+        return total
