@@ -269,3 +269,64 @@ def test_two_process_train_with_skewed_buckets(varied_manifest, tmp_path):
     losses = re.findall(r"avg loss ([0-9.]+)", outs[0])
     assert losses and all(np.isfinite(float(x)) for x in losses)
     assert os.path.exists(os.path.join(save, "deepspeech_final.ckpt"))
+
+
+@pytest.mark.slow
+def test_two_process_dp_x_tp_matches_single_process(tiny_manifest, tmp_path):
+    """DP x TP composed ACROSS a process boundary: 2 processes x 2 local
+    devices with --mesh-model 2 build a (data=2, model=2) mesh whose
+    tensor-parallel axis is intra-process and data axis crosses processes
+    (the realistic pod topology: TP rides ICI within a host). Final
+    parameters must match the single-process 4-device run of the same
+    mesh — closing the one parallelism composition round 3 left untested
+    (MULTICHIP dryruns are single-process)."""
+    def run(world, tag):
+        save = str(tmp_path / f"ck_{tag}")
+        base = ["--train-manifest", tiny_manifest,
+                "--val-manifest", tiny_manifest,
+                "--batch-size", "4", "--hidden-size", "16",
+                "--hidden-layers", "1", "--num-workers", "0",
+                "--epochs", "1", "--no-shuffle", "--seed", "7",
+                "--compute-dtype", "float32", "--norm", "none",
+                "--mesh-model", "2",
+                "--save-folder", save]
+        if world == 1:
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=4")
+            cmd = [sys.executable, os.path.join(REPO, "train.py")] + base + [
+                "--id", tag, "--log-dir", os.path.join(save, "logs")]
+            p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                               text=True, timeout=600)
+            assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+        else:
+            port = _free_port()
+            procs = []
+            for rank in range(world):
+                env = dict(os.environ, JAX_PLATFORMS="cpu",
+                           XLA_FLAGS="--xla_force_host_platform_device_count=2")
+                cmd = [sys.executable, os.path.join(REPO, "train.py")] + \
+                    base + [
+                    "--id", f"{tag}{rank}",
+                    "--log-dir", os.path.join(save, "logs"),
+                    "--dist-url", f"127.0.0.1:{port}",
+                    "--dist-rank", str(rank),
+                    "--dist-world-size", str(world)]
+                procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                              stdout=subprocess.PIPE,
+                                              stderr=subprocess.STDOUT,
+                                              text=True))
+            for rank, p in enumerate(procs):
+                out, _ = p.communicate(timeout=600)
+                assert p.returncode == 0, f"rank {rank}:\n{out[-3000:]}"
+        from deepspeech_tpu.train import checkpoint as ckpt
+        return ckpt.load(os.path.join(save, "deepspeech_final.ckpt"))
+
+    pkg1 = run(1, "tp_single")
+    pkg2 = run(2, "tp_double")
+
+    import jax
+    leaves1 = jax.tree.leaves(pkg1["params"])
+    leaves2 = jax.tree.leaves(pkg2["params"])
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
