@@ -108,10 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "train.py:93-94)")
     # observability
     p.add_argument("--tensorboard", action="store_true")
-    p.add_argument("--visdom", dest="tensorboard", action="store_true",
-                   help="accepted for reference-flag parity; live plots go "
-                        "to TensorBoard + the JSONL event log instead of a "
-                        "visdom server")
+    p.add_argument("--visdom", dest="live_html", action="store_true",
+                   help="live loss/WER/CER curves like the reference's "
+                        "visdom windows (train.py:155-314), rendered to a "
+                        "self-refreshing <log-dir>/<id>.html dashboard "
+                        "(utils/liveplot.py) — no server needed; the JSONL "
+                        "event log records everything either way")
     p.add_argument("--enorm", action="store_true",
                    help="accepted for reference-flag parity; the reference's "
                         "enorm import is commented out there too "
@@ -436,7 +438,8 @@ def main(argv=None, observers=()) -> int:
     decoder = GreedyDecoder(labels.labels)
     obs = ObserverList(observers)
     logger = MetricsLogger(args.log_dir, run_id=args.id.replace(" ", "_"),
-                           tensorboard=args.tensorboard, enabled=is_leader)
+                           tensorboard=args.tensorboard, enabled=is_leader,
+                           live_html=args.live_html)
     os.makedirs(args.save_folder, exist_ok=True)
 
     global_batch = args.batch_size

@@ -25,7 +25,12 @@ from deepspeech_tpu.train import (StepConfig, TrainState,  # noqa: E402
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ds2trace"
-    B, SEC, H, L = 20, 7.5, 800, 6
+    # BENCH-style env overrides so other zoo points (e.g. BiGRU-1600,
+    # BASELINE configs 4/5) get the same per-op treatment
+    B = int(os.environ.get("PROFILE_BATCH", 20))
+    SEC = float(os.environ.get("PROFILE_SECONDS", 7.5))
+    H = int(os.environ.get("PROFILE_HIDDEN", 800))
+    L = int(os.environ.get("PROFILE_LAYERS", 6))
     ns = int(16000 * SEC)
     rng = np.random.default_rng(0)
     batch = {
