@@ -69,7 +69,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = int(os.environ.get("DEEPSPEECH_TPU_GRU_CHUNK", "8"))
+_CHUNK_ENV = os.environ.get("DEEPSPEECH_TPU_GRU_CHUNK")
+
+
+def _chunk_for(hidden: int) -> int:
+    """Grid timesteps per kernel invocation (DEEPSPEECH_TPU_GRU_CHUNK
+    overrides). Swept on-chip: 8 wins at the default 800-wide config; at
+    1600 (BASELINE configs 4/5) chunk 4 measures ~3.5% faster (1692 ->
+    1752 audio-s/s, PERF.md "BiGRU-1600") and 16 fails to compile on the
+    current remote AOT toolchain."""
+    if _CHUNK_ENV:
+        return int(_CHUNK_ENV)
+    return 4 if hidden >= 1280 else 8
 
 # Pre-activation magnitude that saturates sigmoid exactly in f32
 # (sigmoid(40) == 1.0, sigmoid(-40) == 4e-18 ~ 0).
@@ -298,11 +309,11 @@ def _gru_bwd_kernel(chunk, nblocks, bidir, *refs):
 
 def _gru_fwd(xp_f, xp_b, b_ih, w_hh, b_hh, lens, interpret, with_res):
     """Shared forward: xp_b/lens are None for the unidirectional case."""
-    chunk = _CHUNK
+    ndir, hidden, _ = w_hh.shape
+    chunk = _chunk_for(hidden)
     bidir = xp_b is not None
     xp_f, t = _pad_time(xp_f, chunk)
     tp, b, gh = xp_f.shape
-    ndir, hidden, _ = w_hh.shape
     nblocks = tp // chunk
     fwd = lambda i: (i, 0, 0)  # noqa: E731
     rev = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731
@@ -362,10 +373,10 @@ def _gru_fwd(xp_f, xp_b, b_ih, w_hh, b_hh, lens, interpret, with_res):
 
 
 def _gru_bwd(res, douts, interpret):
-    chunk = _CHUNK
     w_hh, t, outs = res
     bidir = len(douts) == 2
     ndir, hidden, gh = w_hh.shape
+    chunk = _chunk_for(hidden)
     if bidir:
         h_f, h_b, g_f, g_b, hn_f, hn_b = outs
     else:
@@ -693,11 +704,11 @@ def _lstm_bwd_kernel(chunk, nblocks, bidir, *refs):
 
 
 def _lstm_fwd(xp_f, xp_b, b_ih, w_hh, b_hh, lens, interpret, with_res):
-    chunk = _CHUNK
+    ndir, hidden, _ = w_hh.shape
+    chunk = _chunk_for(hidden)
     bidir = xp_b is not None
     xp_f, t = _pad_time(xp_f, chunk)
     tp, b, gh = xp_f.shape
-    ndir, hidden, _ = w_hh.shape
     nblocks = tp // chunk
     fwd = lambda i: (i, 0, 0)  # noqa: E731
     rev = lambda i: (nblocks - 1 - i, 0, 0)  # noqa: E731
@@ -751,10 +762,10 @@ def _lstm_fwd(xp_f, xp_b, b_ih, w_hh, b_hh, lens, interpret, with_res):
 
 
 def _lstm_bwd(res, douts, interpret):
-    chunk = _CHUNK
     w_hh, t, outs = res
     bidir = len(douts) == 2
     ndir, hidden, gh = w_hh.shape
+    chunk = _chunk_for(hidden)
     if bidir:
         h_f, c_f, h_b, c_b, g_f, g_b = outs
     else:
