@@ -220,3 +220,19 @@ def test_stream_pool_cnn_continuous_batching():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(pool.collected_logits(s2), ref2,
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_glu_large_asymmetric_padding_matches_batch():
+    """glu_large front-loads ALL its padding on layer 1 (p=170, then 16
+    pad-free layers) — the extreme asymmetric case for the receptive-span
+    fold (LO=-170 while intermediate HI_l go negative). Streaming must
+    still equal the batch forward exactly."""
+    model = build_cnn_model("glu_large", 30)
+    variables = _init(model)
+    y = _audio(seconds=1.1, seed=11)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 64)
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
