@@ -236,3 +236,38 @@ def test_glu_large_asymmetric_padding_matches_batch():
     got = st.collected_logits()[0]
     assert got.shape[0] == t_out
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_cnn_streaming_beam_matches_oneshot_beam():
+    """decoder="beam" over a CNN stack: the fused chunk+beam continuation
+    (inherited model-family hook) must produce the SAME hypothesis as the
+    one-shot device beam search. Both searches consume the streamed
+    logits (already pinned batch-equal to accumulation tolerance by the
+    greedy parity tests) — random-weight logits are tie-dense, so feeding
+    the one-shot search the float-identical stream isolates the
+    continuation logic from sub-1e-4 tie flips."""
+    from deepspeech_tpu.decoders.beam_device import ctc_beam_search_device
+    from deepspeech_tpu.text import Labels
+
+    model = build_cnn_model("cnn", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=1)
+    variables = _init(model)
+    labels = Labels(EN_LABELS)
+    y = _audio(seconds=1.2, seed=21)
+
+    st = CNNStreamingTranscriber(model, variables, labels,
+                                 audio_conf=AudioConf(), normalize="none",
+                                 chunk_frames=40, decoder="beam",
+                                 beam_width=8)
+    st.feed(y)
+    st.finish()
+    streamed = st.collected_logits()  # (B, T_out, C), batch-equal
+
+    lp = jax.nn.log_softmax(jnp.asarray(streamed), axis=-1)
+    prefixes, lens, _, _ = ctc_beam_search_device(
+        lp, jnp.asarray([streamed.shape[1]]), beam_width=8,
+        blank=labels.blank_index)
+    n = int(lens[0, 0])
+    oneshot_text = "".join(EN_LABELS[int(x)]
+                           for x in np.asarray(prefixes)[0, 0, :n])
+    assert st.beam_texts()[0][0] == oneshot_text
