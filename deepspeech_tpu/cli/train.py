@@ -215,7 +215,7 @@ def main(argv=None, observers=()) -> int:
                                      DistributedBucketingSampler,
                                      stack_microbatches)
     from deepspeech_tpu.decoders import GreedyDecoder
-    from deepspeech_tpu.models import build_model, model_from_meta
+    from deepspeech_tpu.models import build_model
     from deepspeech_tpu.parallel import (batch_sharding,
                                          equalize_batch_padding,
                                          local_batch_to_global, make_mesh,

@@ -47,7 +47,7 @@ import numpy as np
 
 from deepspeech_tpu.audio.features import N_BINS, AudioConf, make_window
 from deepspeech_tpu.models.ds2 import ConvFrontend, DeepSpeech2
-from deepspeech_tpu.ops.rnn import CELL_GATES, _gru_step, _lstm_step, _rnn_step
+from deepspeech_tpu.ops.rnn import _gru_step, _lstm_step, _rnn_step
 from deepspeech_tpu.ops.stft import stft_magnitude
 
 _INT_SENTINEL = np.int32(2 ** 31 - 1)

@@ -17,7 +17,6 @@ NaN semantics follow the reference:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import flax.struct
