@@ -271,3 +271,38 @@ def test_cnn_streaming_beam_matches_oneshot_beam():
     oneshot_text = "".join(EN_LABELS[int(x)]
                            for x in np.asarray(prefixes)[0, 0, :n])
     assert st.beam_texts()[0][0] == oneshot_text
+
+
+def test_stream_pool_cnn_beam_decode():
+    """Pool continuous batching over a CNN stack with the fused beam tick:
+    the finished slot's beam hypothesis equals the one-shot device beam
+    over that stream's emitted logits."""
+    from deepspeech_tpu.decoders.beam_device import ctc_beam_search_device
+    from deepspeech_tpu.serve import StreamPool
+    from deepspeech_tpu.text import Labels
+
+    model = build_cnn_model("cnn", 30, cnn_width=16, hidden_size=24,
+                            hidden_layers=1)
+    variables = _init(model)
+    labels = Labels(EN_LABELS)
+    y = _audio(1.0, 13)
+    pool = StreamPool(model, variables, labels, audio_conf=AudioConf(),
+                      normalize="none", chunk_frames=40, slots=2,
+                      decoder="beam", beam_width=8, collect_logits=True)
+    s = pool.open()
+    pool.write(s, y)
+    pool.close(s)
+    for _ in range(100):
+        if pool.done(s):
+            break
+        pool.tick()
+    assert pool.done(s)
+    logits = pool.collected_logits(s)
+    lp = jax.nn.log_softmax(jnp.asarray(logits)[None], axis=-1)
+    prefixes, lens, _, _ = ctc_beam_search_device(
+        lp, jnp.asarray([logits.shape[0]]), beam_width=8,
+        blank=labels.blank_index)
+    n = int(lens[0, 0])
+    oneshot = "".join(EN_LABELS[int(x)]
+                      for x in np.asarray(prefixes)[0, 0, :n])
+    assert pool.beam_text(s) == oneshot
