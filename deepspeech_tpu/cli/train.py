@@ -248,7 +248,15 @@ def main(argv=None, observers=()) -> int:
         say(f"Resuming from {args.continue_from} "
             f"(epoch {package.get('epoch', 0)})")
     else:
-        labels_str = load_labels(args.labels_path)
+        labels_path = args.labels_path
+        if labels_path == "labels.json" and not os.path.exists(labels_path):
+            # default is cwd-relative (reference flag parity); when run
+            # from elsewhere, fall back to the copy shipped at repo root
+            shipped = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "labels.json")
+            if os.path.exists(shipped):
+                labels_path = shipped
+        labels_str = load_labels(labels_path)
         audio_conf = audio_conf_from_args(args, train=True)
     labels = Labels(labels_str)
     # augs zeroed for eval datasets (reference train.py:912-915)
