@@ -111,6 +111,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000,
         raise ValueError(f"unsupported channel count {channels}")
     if not (4 <= bits <= 32):
         raise ValueError(f"unsupported bit depth {bits}")
+    if not (16 <= block_size <= 65535):
+        raise ValueError(f"block_size {block_size} outside FLAC's valid "
+                         "16..65535 range (RFC 9639 §8.2)")
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     s64 = samples.astype(np.int64)
     if s64.min(initial=0) < lo or s64.max(initial=0) > hi:
@@ -127,7 +130,10 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000,
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
-    si.write(min(block_size, total) if total else block_size, 16)
+    # min == max marks the stream fixed-blocksize (RFC 9639 §8.2) — which it
+    # is: every frame header below declares fixed-blocksize. A shorter FINAL
+    # block is explicitly allowed and does not lower the minimum.
+    si.write(block_size, 16)
     si.write(block_size, 16)
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown

@@ -16,7 +16,9 @@ import pickle
 
 import numpy as np
 
-from deepspeech_tpu.cli.args import add_decoder_args, add_inference_args
+from deepspeech_tpu.cli.args import (add_decoder_args, add_inference_args,
+                                     add_reference_noop_args,
+                                     warn_reference_noop_args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump per-utterance logits/probs pickles next to wavs")
     p.add_argument("--max-items", default=0, type=int)
     add_decoder_args(p)
+    add_reference_noop_args(p)
     return p
 
 
@@ -50,6 +53,7 @@ def main(argv=None) -> int:
     from deepspeech_tpu.cli.common import enable_compile_cache
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    warn_reference_noop_args(args)
 
     import jax
 

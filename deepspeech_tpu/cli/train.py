@@ -164,14 +164,23 @@ def build_parser() -> argparse.ArgumentParser:
     # auto-discovers the topology)
     p.add_argument("--dist-url", default="",
                    help="coordinator address host:port for multi-host "
-                        "training (jax.distributed rendezvous)")
-    p.add_argument("--dist-rank", default=-1, type=int,
-                   help="this process's index (with --dist-url)")
-    p.add_argument("--dist-world-size", default=0, type=int,
-                   help="total number of processes (with --dist-url)")
+                        "training (jax.distributed rendezvous; a reference "
+                        "style tcp://host:port is accepted, the scheme is "
+                        "stripped)")
+    p.add_argument("--dist-rank", "--rank", dest="dist_rank",
+                   default=-1, type=int,
+                   help="this process's index (with --dist-url; --rank is "
+                        "the reference spelling, train.py:102)")
+    p.add_argument("--dist-world-size", "--world-size",
+                   dest="dist_world_size", default=0, type=int,
+                   help="total number of processes (with --dist-url; "
+                        "--world-size is the reference spelling, "
+                        "train.py:100)")
     p.add_argument("--dist-init", action="store_true",
                    help="call jax.distributed.initialize() with "
                         "auto-discovery (TPU pod environments)")
+    from deepspeech_tpu.cli.args import add_reference_noop_args
+    add_reference_noop_args(p)
     return p
 
 
@@ -193,13 +202,17 @@ def main(argv=None, observers=()) -> int:
     epoch/batch/checkpoint boundaries — the extension point the reference
     sketched but never wired (reference observer.py:8-22)."""
     args = build_parser().parse_args(argv)
+    from deepspeech_tpu.cli.args import warn_reference_noop_args
+    warn_reference_noop_args(args)
 
     import jax
 
     # Multi-host rendezvous BEFORE any other jax use (replaces the
     # reference's dist.init_process_group TCP rendezvous, train.py:804-809).
     if args.dist_url:
-        jax.distributed.initialize(coordinator_address=args.dist_url,
+        # accept the reference's tcp://host:port spelling (train.py:97)
+        coord = args.dist_url.split("://", 1)[-1]
+        jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=args.dist_world_size,
                                    process_id=args.dist_rank)
     elif args.dist_init:

@@ -10,7 +10,9 @@ import os
 
 import numpy as np
 
-from deepspeech_tpu.cli.args import add_decoder_args, add_inference_args
+from deepspeech_tpu.cli.args import (add_decoder_args, add_inference_args,
+                                     add_reference_noop_args,
+                                     warn_reference_noop_args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -29,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "runtime (unidirectional models only; greedy "
                         "decode), emitting text incrementally to stderr")
     add_decoder_args(p)
+    add_reference_noop_args(p)
     return p
 
 
@@ -148,6 +151,7 @@ def main(argv=None) -> int:
     from deepspeech_tpu.cli.common import enable_compile_cache
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    warn_reference_noop_args(args)
 
     from deepspeech_tpu.cli.common import build_decoder, load_inference_model
 

@@ -69,8 +69,16 @@ class CurriculumStore:
                      for wav in wav_paths}
 
     def update(self, wav, reference, transcript, offsets, cer, wer,
-               times_used=0):
-        """Reference update_curriculum (data_loader_aug.py:487-497)."""
+               times_used=None):
+        """Reference update_curriculum (data_loader_aug.py:487-497).
+
+        ``times_used=None`` (the default) increments the stored counter,
+        matching every reference call site's
+        ``curriculum[filename]['times_used'] + 1``
+        (reference train.py:376-381, 481-486, 581-586)."""
+        if times_used is None:
+            prev = self.rows.get(wav)
+            times_used = (prev["times_used"] if prev else 0) + 1
         self.rows[wav] = {"wav": wav, "text": reference,
                           "transcript": transcript, "offsets": offsets,
                           "times_used": times_used, "cer": cer, "wer": wer}
@@ -109,6 +117,7 @@ class CurriculumStore:
             for row in csv.DictReader(f):
                 row["cer"] = float(row["cer"])
                 row["wer"] = float(row["wer"])
+                row["times_used"] = int(row.get("times_used") or 0)
                 store.rows[row["wav"]] = row
         return store
 

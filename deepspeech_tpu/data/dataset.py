@@ -156,7 +156,10 @@ class AudioDataset:
         np.random.default_rng(epoch).shuffle(self.ids)
 
     def update_curriculum(self, wav, reference, transcript, offsets, cer,
-                          wer, times_used=0):
+                          wer, times_used=None):
+        """``times_used=None`` increments the per-utterance counter, matching
+        the reference's ``curriculum[filename]['times_used'] + 1`` at every
+        update site (reference train.py:376-381, 481-486, 581-586)."""
         self.curriculum.update(wav, reference, transcript, offsets, cer, wer,
                                times_used)
 

@@ -14,14 +14,19 @@ beam search (Hannun et al. 2014):
 * returns the reference decoder tuple convention: (strings, offsets) with
   ``top_paths`` hypotheses per utterance (reference decoder.py:128-143).
 
-The batch dimension parallelizes across a thread pool (``num_processes`` in
-the reference maps to threads here — the DP inner loops are numpy).
+The batch dimension parallelizes per ``num_processes`` (the reference's
+ctcdecode knob, decoder.py:101): the native C++ backend fans out over a
+thread pool (the ctypes search call releases the GIL), while the pure-Python
+backend fans out over spawned worker processes — Python threads cannot speed
+up the pure-Python search, so threads there would be overhead dressed up as
+parallelism.
 """
 
 from __future__ import annotations
 
 import math
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -173,6 +178,15 @@ class BeamCTCDecoder(Decoder):
                  num_processes=4, blank_index=0, top_paths=1,
                  backend="auto", blank_collapse_threshold=1.0):
         super().__init__(labels, blank_index=blank_index)
+        # enough to rebuild this decoder inside a spawned worker process
+        # (single-threaded there; the parent owns the fan-out)
+        self._ctor_kwargs = dict(
+            labels=labels, lm_path=lm_path, alpha=alpha, beta=beta,
+            cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
+            beam_width=beam_width, num_processes=1, blank_index=blank_index,
+            top_paths=top_paths, backend=backend,
+            blank_collapse_threshold=blank_collapse_threshold)
+        self._pool = None
         self.beam_width = beam_width
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = cutoff_prob
@@ -234,8 +248,53 @@ class BeamCTCDecoder(Decoder):
             t = int(sizes[b]) if sizes is not None else log_probs.shape[1]
             items.append(log_probs[b, :t])
         if self.num_processes > 1 and len(items) > 1:
-            with ThreadPoolExecutor(self.num_processes) as pool:
-                results = list(pool.map(self._decode_one, items))
+            if self.backend == "python":
+                # the pure-Python search never leaves the GIL; real
+                # parallelism needs processes (workers are spawned once and
+                # reused across decode() calls; each rebuilds this decoder —
+                # including its mmap'd LM — from _ctor_kwargs)
+                results = list(self._process_pool().map(
+                    _worker_decode, items))
+            else:
+                # the native search is a ctypes call, which releases the
+                # GIL for its duration — threads scale here
+                with ThreadPoolExecutor(self.num_processes) as pool:
+                    results = list(pool.map(self._decode_one, items))
         else:
             results = [self._decode_one(x) for x in items]
         return [r[0] for r in results], [r[1] for r in results]
+
+    def _process_pool(self) -> ProcessPoolExecutor:
+        if self._pool is None:
+            # pin the worker to the parent's RESOLVED backend ("auto" could
+            # re-resolve differently in a fresh process)
+            kwargs = {**self._ctor_kwargs, "backend": self.backend}
+            self._pool = ProcessPoolExecutor(
+                self.num_processes,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init, initargs=(kwargs,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown best effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# spawned-worker state for the pure-Python backend's process fan-out
+_WORKER_DECODER = None
+
+
+def _worker_init(ctor_kwargs):
+    global _WORKER_DECODER
+    _WORKER_DECODER = BeamCTCDecoder(**ctor_kwargs)
+
+
+def _worker_decode(log_probs):
+    return _WORKER_DECODER._decode_one(log_probs)

@@ -132,15 +132,32 @@ def load_device_lm(path: str, labels: str) -> dict:
     from deepspeech_tpu.decoders.lm_binary import (BinaryLM, convert_arpa,
                                                    is_dslm)
     from deepspeech_tpu.decoders.lm_kenlm import is_kenlm
+    from deepspeech_tpu.decoders.lm_trie import TRIE_TYPES, kenlm_model_type
     if is_kenlm(path):
+        if kenlm_model_type(path) in TRIE_TYPES:
+            # trie binaries store explicit word ids + strings, so they ARE
+            # invertible: enumerate back to ARPA, then through the DSLM
+            # converter (KenLMTrie itself rejects quantized/Bhiksha
+            # variants with guidance)
+            from deepspeech_tpu.decoders.lm_trie import KenLMTrie
+            trie = KenLMTrie(path)
+            fd, tmp_arpa = tempfile.mkstemp(suffix=".arpa")
+            os.close(fd)
+            try:
+                trie.dump_arpa(tmp_arpa)
+                return load_device_lm(tmp_arpa, labels)
+            finally:
+                trie.close()
+                os.unlink(tmp_arpa)
         # probing binaries store one-way n-gram hashes — they can be
         # QUERIED (host beam, decoders/lm_kenlm.py) but never expanded into
         # the explicit trie the device search needs
         raise ValueError(
             f"{path}: KenLM probing binaries cannot feed the on-device "
             "beam (hashed n-grams are not invertible); use the host beam "
-            "decoder, or convert the source ARPA with "
-            "python -m deepspeech_tpu.decoders.lm_binary")
+            "decoder, a trie-format binary (build_binary trie), or convert "
+            "the source ARPA with python -m deepspeech_tpu.decoders."
+            "lm_binary")
     if is_dslm(path):
         blm = BinaryLM(path)
     else:

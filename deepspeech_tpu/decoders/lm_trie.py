@@ -94,15 +94,33 @@ def is_kenlm_trie(path: str) -> bool:
 
 class _BitArray:
     """LSB-first bit stream over a byte buffer (util/bit_packing.hh
-    semantics: an 8-byte little-endian load at bit>>3, shifted by bit&7)."""
+    semantics: an 8-byte little-endian load at bit>>3, shifted by bit&7).
+
+    Holds the caller's buffer as a ZERO-COPY view (an mmap-backed
+    ``np.frombuffer`` for real files) so loading a multi-GB trie stays at
+    mmap residency — the format's whole point for big models. Only reads
+    whose 9-byte load would overrun the view (possible within the final
+    few bits when the level ends flush with EOF) go through a small
+    zero-padded copy of the tail."""
 
     def __init__(self, buf: np.ndarray):
-        # pad so 8-byte loads at the final bits stay in bounds
-        self._b = np.concatenate([buf, np.zeros(8, np.uint8)])
+        self._b = buf
+        n = len(buf)
+        k = min(9, n)
+        tail = np.zeros(k + 9, np.uint8)
+        if k:
+            tail[:k] = buf[n - k:]
+        self._tail = tail
+        self._tail_start = n - k
 
     def read(self, bit: int, n: int) -> int:
         byte = bit >> 3
-        word = int.from_bytes(self._b[byte: byte + 9].tobytes(), "little")
+        buf = self._b
+        if byte + 9 <= len(buf):
+            word = int.from_bytes(buf[byte: byte + 9].tobytes(), "little")
+        else:
+            o = byte - self._tail_start
+            word = int.from_bytes(self._tail[o: o + 9].tobytes(), "little")
         return (word >> (bit & 7)) & ((1 << n) - 1)
 
 
@@ -189,7 +207,10 @@ class KenLMTrie:
             next_bits = required_bits(counts[o])
             total = word_bits + 31 + 32 + next_bits
             nbytes = ((entries + 1) * total + 7) // 8 + 8
-            bits = _BitArray(np.frombuffer(mm, np.uint8, nbytes, off))
+            # the +8 slack is layout (KenLM pads each bit array); the VIEW
+            # clamps to the file so a level flush with EOF still maps
+            bits = _BitArray(np.frombuffer(
+                mm, np.uint8, min(nbytes, len(mm) - off), off))
             level = dict(bits=bits, entries=entries, total=total,
                          word_bits=word_bits, next_bits=next_bits,
                          prob_off=word_bits, back_off=word_bits + 31,
@@ -210,7 +231,8 @@ class KenLMTrie:
             total = word_bits + 31
             nbytes = (entries * total + 7) // 8 + 8
             self._longest = dict(
-                bits=_BitArray(np.frombuffer(mm, np.uint8, nbytes, off)),
+                bits=_BitArray(np.frombuffer(
+                    mm, np.uint8, min(nbytes, len(mm) - off), off)),
                 entries=entries, total=total, word_bits=word_bits)
             off += nbytes
         else:
@@ -349,3 +371,93 @@ class KenLMTrie:
             total += self.score_word(context, w)
             context = context + (w,)
         return total
+
+    # -- enumeration (trie binaries ARE invertible: explicit ids + word
+    # strings, unlike the probing format's one-way hashes) ------------------
+
+    def id_to_word(self) -> list:
+        """Dense id -> word-string table from the trailing vocab section."""
+        if len(self._wid) <= 1:
+            raise ValueError(
+                "this trie binary was built without word strings "
+                "(build_binary -v drops them); ids cannot be inverted — "
+                "pass the textual ARPA instead")
+        inv = [None] * self.counts[0]
+        for w, i in self._wid.items():
+            inv[i] = w
+        missing = [i for i, w in enumerate(inv) if w is None]
+        if missing:
+            raise ValueError(
+                f"trie vocab table incomplete (no string for ids "
+                f"{missing[:5]}...); incompatible trie layout")
+        return inv
+
+    def _iter_children(self, depth: int, path: tuple, begin: int, end: int):
+        """DFS below the suffix-trie ``path`` (natural word order). Yields
+        (order, ids natural order, log10 prob or None for nodes KenLM
+        inserted only to carry children, backoff)."""
+        if depth == self.order:
+            lvl = self._longest
+            bits, total, wb = lvl["bits"], lvl["total"], lvl["word_bits"]
+            for i in range(begin, end):
+                w = bits.read(i * total, wb)
+                prob = _float_from_np31(bits.read(i * total + wb, 31))
+                yield (depth, (w,) + path,
+                       None if prob == _NEG_INF else prob, 0.0)
+            return
+        lvl = self._middles[depth - 2]
+        bits, total = lvl["bits"], lvl["total"]
+        for i in range(begin, end):
+            base = i * total
+            w = bits.read(base, lvl["word_bits"])
+            prob = _float_from_np31(bits.read(base + lvl["prob_off"], 31))
+            bo = _float_from_bits(bits.read(base + lvl["back_off"], 32))
+            b2 = bits.read(base + lvl["next_off"], lvl["next_bits"])
+            e2 = bits.read(base + total + lvl["next_off"], lvl["next_bits"])
+            ids = (w,) + path
+            yield depth, ids, (None if prob == _NEG_INF else prob), bo
+            yield from self._iter_children(depth + 1, ids, b2, e2)
+
+    def iter_ngrams(self):
+        """Yield (order, word-id tuple in NATURAL order oldest..newest,
+        log10 prob or None for carrier nodes, backoff) for every stored
+        entry — the inverse of the build: the suffix path c -> b -> a is
+        re-emitted as the n-gram (a b c)."""
+        v = self.counts[0]
+        for wid in range(v):
+            p = float(self._uni_pb[wid, 0])
+            yield (1, (wid,), None if p == _NEG_INF else p,
+                   float(self._uni_pb[wid, 1]))
+        if self.order == 1:
+            return
+        for wid in range(v):
+            yield from self._iter_children(
+                2, (wid,), int(self._uni_next[wid]),
+                int(self._uni_next[wid + 1]))
+
+    def dump_arpa(self, out_path: str, carrier_logp: float = -99.0):
+        """Write the model back out as textual ARPA.
+
+        Nodes KenLM inserted only to carry children (no such n-gram in the
+        source ARPA) are emitted with ``carrier_logp`` — the DSLM
+        converter's SENTINEL (-99.0), which its readers treat as
+        absent-but-traversable, reproducing the trie's own semantics.
+        """
+        words = self.id_to_word()
+        per_order: list[list[str]] = [[] for _ in range(self.order)]
+        for order, ids, prob, bo in self.iter_ngrams():
+            lp = carrier_logp if prob is None else prob
+            gram = " ".join(words[i] for i in ids)
+            if order < self.order and bo != 0.0:
+                per_order[order - 1].append(f"{lp:.7g}\t{gram}\t{bo:.7g}")
+            else:
+                per_order[order - 1].append(f"{lp:.7g}\t{gram}")
+        with open(out_path, "w", encoding="utf8") as f:
+            f.write("\\data\\\n")
+            for o, rows in enumerate(per_order, start=1):
+                f.write(f"ngram {o}={len(rows)}\n")
+            for o, rows in enumerate(per_order, start=1):
+                f.write(f"\n\\{o}-grams:\n")
+                f.write("\n".join(rows))
+                f.write("\n")
+            f.write("\n\\end\\\n")

@@ -85,6 +85,26 @@ class TestDecoderClass:
         assert all(isinstance(s, str) for s in strings[0])
         assert len(offsets[0][0]) == len(strings[0][0])
 
+    def test_python_process_pool_matches_serial(self):
+        """The pure-Python backend's --lm-workers fan-out uses spawned
+        processes (threads cannot parallelize a GIL-bound search); results
+        must be identical to the serial path."""
+        rng = np.random.default_rng(7)
+        probs = rng.dirichlet(np.ones(len(LABELS)), size=(4, 8))
+        serial = BeamCTCDecoder(LABELS, beam_width=6, top_paths=2,
+                                backend="python", num_processes=1)
+        par = BeamCTCDecoder(LABELS, beam_width=6, top_paths=2,
+                             backend="python", num_processes=2)
+        try:
+            s_strings, s_offsets = serial.decode(probs, sizes=[8, 6, 8, 5])
+            p_strings, p_offsets = par.decode(probs, sizes=[8, 6, 8, 5])
+        finally:
+            par.close()
+        assert p_strings == s_strings
+        for so, po in zip(s_offsets, p_offsets):
+            for a, b in zip(so, po):
+                assert np.array_equal(a, b)
+
     def test_matches_greedy_on_peaked_input(self):
         """When per-frame posteriors are nearly one-hot, beam == greedy."""
         ids = [1, 1, 0, 2, 0, 3, 1]

@@ -85,6 +85,32 @@ def test_train_cli_tensor_parallel(trained, tmp_path):
 
 
 @pytest.mark.slow
+def test_reference_command_lines_run_unmodified(trained, tmp_path):
+    """The reference's CUDA/DDP flags (--cuda, --data-parallel, --gpu-rank,
+    --dist-backend, --rank, --world-size; reference train.py:54, 97-107,
+    test.py:30, opts.py:20) are accepted as documented no-ops so reference
+    README command lines run verbatim on TPU."""
+    ckpt, manifest, _ = trained
+    save = tmp_path / "noop_ckpt"
+    r = _run("train.py", [
+        "--train-manifest", manifest, "--val-manifest", manifest,
+        "--batch-size", "3", "--hidden-size", "16", "--hidden-layers", "1",
+        "--num-workers", "0", "--epochs", "1", "--save-folder", str(save),
+        "--id", "cli-noop", "--log-dir", str(save / "logs"),
+        "--cuda", "--data-parallel", "--gpu-rank", "0",
+        "--dist-backend", "nccl", "--rank", "0", "--world-size", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "note: --cuda has no effect" in r.stdout
+    assert (save / "deepspeech_final.ckpt").exists()
+    r = _run("test.py", [
+        "--continue-from", ckpt, "--test-manifest", manifest,
+        "--batch-size", "3", "--num-workers", "0", "--max-items", "2",
+        "--cuda", "--data-parallel"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary (token-weighted)" in r.stdout
+
+
+@pytest.mark.slow
 def test_eval_cli_greedy(trained, tmp_path):
     ckpt, manifest, _ = trained
     report = tmp_path / "report.csv"

@@ -94,6 +94,29 @@ class TestCurriculum:
         assert loaded.info("w1")[1] == 0.25
         assert loaded.info("w2") == ("", 0.999)
         assert loaded.info("missing", "fb") == ("fb", 0.999)
+        # times_used survives the CSV round trip as an int (reference
+        # persists it in the curriculum sidecars, train.py:581-586).
+        assert loaded.get("w1")["times_used"] == 1
+        assert loaded.get("w2")["times_used"] == 0
+
+    def test_store_times_used_increments(self, tmp_path):
+        """Default update increments the counter like the reference's
+        ``curriculum[wav]['times_used'] + 1`` (reference train.py:581-586),
+        including across a save/load cycle and for unseen wavs."""
+        store = CurriculumStore(["w1"])
+        store.update("w1", "r", "h", None, 0.2, 0.3)
+        store.update("w1", "r", "h", None, 0.2, 0.3)
+        assert store.get("w1")["times_used"] == 2
+        store.update("new_wav", "r", "h", None, 0.2, 0.3)
+        assert store.get("new_wav")["times_used"] == 1
+        path = tmp_path / "c.csv"
+        store.save(str(path))
+        loaded = CurriculumStore.load(str(path))
+        loaded.update("w1", "r", "h", None, 0.2, 0.3)
+        assert loaded.get("w1")["times_used"] == 3
+        # explicit override still honored (reference passes it explicitly)
+        loaded.update("w1", "r", "h", None, 0.2, 0.3, times_used=7)
+        assert loaded.get("w1")["times_used"] == 7
 
 
 class TestSamplers:

@@ -39,6 +39,25 @@ def _state(n_iters=50, n_epochs=6):
     }
 
 
+def test_nonfinite_values_render_as_gaps(tmp_path):
+    """A NaN/inf metric must not reach the embedded JSON (bare NaN tokens
+    are invalid JSON and would kill the hover/refresh script) nor poison
+    the y-axis scale."""
+    import json as _json
+    state = _state()
+    state["train_loss"][3] = float("nan")
+    state["train_loss"][4] = float("inf")
+    state["val_loss"][0] = float("-inf")
+    path = str(tmp_path / "dash.html")
+    render_dashboard(path, "unit-run", state)
+    s = open(path).read()
+    assert "NaN" not in s and "Infinity" not in s
+    for m in re.findall(r"data-pts='([^']*)'", s):
+        _json.loads(m)  # strict: raises on bare NaN/Infinity
+    # refresh script re-arms instead of dying in a hidden tab
+    assert "visibilitychange" in s and "armRefresh" in s
+
+
 def test_render_structure(tmp_path):
     path = str(tmp_path / "dash.html")
     render_dashboard(path, "unit-run", _state())

@@ -343,3 +343,60 @@ class TestReader:
         bad.write_bytes(bytes(data))
         with pytest.raises(ValueError, match="inconsistent|incompatible"):
             KenLMTrie(str(bad))
+
+
+class TestEnumeration:
+    """Trie binaries are invertible (explicit ids + word strings); the
+    enumeration powers the device-beam path (lm_device.load_device_lm)."""
+
+    def test_iter_ngrams_counts_and_unigrams(self, pair):
+        arpa, binp = pair
+        lm = KenLMTrie(binp)
+        per_order = {}
+        for order, ids, prob, bo in lm.iter_ngrams():
+            per_order[order] = per_order.get(order, 0) + 1
+        for o in range(1, arpa.order + 1):
+            assert per_order[o] == lm.counts[o - 1]
+
+    def test_dump_arpa_roundtrip_scores(self, pair, tmp_path):
+        """KenLMTrie -> ARPA -> DSLM must score identically to the trie
+        itself (incl. carrier nodes behaving as misses via SENTINEL)."""
+        arpa, binp = pair
+        from deepspeech_tpu.decoders.lm_binary import BinaryLM, convert_arpa
+        lm = KenLMTrie(binp)
+        dumped = tmp_path / "dumped.arpa"
+        lm.dump_arpa(str(dumped))
+        dslm = tmp_path / "dumped.dslm"
+        convert_arpa(str(dumped), str(dslm))
+        blm = BinaryLM(str(dslm))
+        words = sorted({w for k in arpa.ngrams for w in k})
+        contexts = [()] + [(w,) for w in words]
+        if arpa.order > 2:
+            contexts += [(a, b) for a in words[:4] for b in words[:4]]
+        for ctx in contexts:
+            for w in words:
+                assert blm.score_word(ctx, w) == pytest.approx(
+                    lm.score_word(ctx, w), abs=1e-4), (ctx, w)
+        blm.close()
+        lm.close()
+
+    def test_device_lm_from_trie_binary(self, pair):
+        """lm_device.load_device_lm accepts a trie binary and the device
+        scorer matches the host trie reader (the ADVICE'd capability: trie
+        binaries are invertible, unlike probing's one-way hashes)."""
+        arpa, binp = pair
+        from deepspeech_tpu.decoders.lm_device import load_device_lm
+        from tests.test_lm_device import _score_dev
+        lm = KenLMTrie(binp)
+        chars = sorted({c for w in lm._wid for c in w if len(w) < 3})
+        labels = "_" + "".join(chars) + " "
+        dev = load_device_lm(binp, labels)
+        # DSLM ids = position in the converter's sorted vocab (incl <unk>)
+        vocab = sorted(lm._wid)
+        real = [w for w in vocab if not w.startswith("<")]
+        for ctx in [(), ("<s>",)] + [(w,) for w in real[:4]]:
+            for w in real[:6]:
+                got = _score_dev(dev, vocab, ctx, w, lm.order)
+                assert got == pytest.approx(lm.score_word(ctx, w),
+                                            abs=1e-4), (ctx, w)
+        lm.close()
