@@ -25,16 +25,28 @@ Layout read (format version 5, unquantized, no Bhiksha array compression):
 * longest order: ``[word | prob(31)]`` entries, no children;
 * trailing null-delimited word strings when the binary carries them.
 
+Quantized tries (model type 3, ``build_binary -q P -b B trie`` — the
+artifacts practitioners actually ship) are read too: a quantization
+section sits between the vocabulary hashes and the unigram table —
+an 8-byte header (version byte 2, prob_bits, backoff_bits), then per
+middle order a ``2^prob_bits``-float prob table and a
+``2^backoff_bits``-float backoff table, and one final prob table for the
+longest order (quantize.hh SeparatelyQuantize; unigrams stay unquantized).
+Entries then pack ``[word | backoff_idx(B) | prob_idx(P) | next]`` —
+KenLM writes ``(prob_idx << backoff_bits) | backoff_idx`` as one LSB-first
+field, so the backoff index occupies the lower bits — and the longest
+order packs ``[word | prob_idx(P)]``. Decoding is one table load; the
+tables' first two backoff entries are KenLM's reserved -0.0/0.0
+(no-extension/extension markers), read like any other center.
+
 The trie stores n-grams in SUFFIX order: the n-gram (a b c) with c newest
 lives on the path c -> b -> a, so a lookup walks unigram[c], finds b among
 c's children, then a.  Nodes inserted only to carry children (the ARPA
 had no such n-gram) hold prob = -inf and behave as lookup misses, exactly
 like ArpaLM's absent entries.
 
-Quantized (types 3, 5) and Bhiksha-array (4, 5) variants are rejected
-with guidance — their payloads are lossy re-encodings, so the honest
-paths are this reader on an unquantized trie, the probing reader, or the
-textual ARPA.
+Bhiksha-array variants (types 4, 5) are rejected with guidance; plain
+and quantized tries (types 2, 3) are both read in place.
 
 Caveat (same as the probing reader): no kenlm runtime or real binaries
 exist in this environment (zero egress); the byte layout is implemented
@@ -150,19 +162,15 @@ class KenLMTrie:
         order = int(mm[ss])
         self.order = order
         model_type = int(np.frombuffer(mm, np.int32, 1, ss + 8)[0])
-        if model_type in (MODEL_QUANT_TRIE, MODEL_QUANT_ARRAY_TRIE):
-            raise ValueError(
-                f"{path}: quantized trie (type {model_type}) stores lossy "
-                "re-encoded probabilities; rebuild without -q (plain trie) "
-                "or pass the textual ARPA")
-        if model_type == MODEL_ARRAY_TRIE:
+        if model_type in (MODEL_ARRAY_TRIE, MODEL_QUANT_ARRAY_TRIE):
             raise ValueError(
                 f"{path}: Bhiksha-array trie (type {model_type}) is not "
-                "supported; rebuild without -a (plain trie) or pass the "
-                "textual ARPA")
-        if model_type != MODEL_TRIE:
+                "supported; rebuild without -a (plain or -q trie) or pass "
+                "the textual ARPA")
+        if model_type not in (MODEL_TRIE, MODEL_QUANT_TRIE):
             raise ValueError(f"{path}: not a trie-format binary "
                              f"(model type {model_type}); use KenLMProbing")
+        self.quantized = model_type == MODEL_QUANT_TRIE
         has_vocab = mm[ss + 12] != 0
         counts = [int(c) for c in
                   np.frombuffer(mm, np.uint64, order,
@@ -185,6 +193,36 @@ class KenLMTrie:
                              "incompatible trie layout")
         off += 8 * n_vocab
 
+        # -- quantization tables (type 3 only): an 8-byte header (version,
+        # prob_bits, backoff_bits) then per middle order a prob + backoff
+        # center table and one final longest-order prob table (quantize.hh
+        # SeparatelyQuantize layout; sits between vocab and unigram) -------
+        self._quant = None
+        if self.quantized and order > 1:
+            version = mm[off]
+            if version != 2:
+                raise ValueError(
+                    f"{path}: quantization version {version} (expected 2); "
+                    "incompatible KenLM revision")
+            pb, bb = int(mm[off + 1]), int(mm[off + 2])
+            if not (1 <= pb <= 30 and 1 <= bb <= 30):
+                raise ValueError(
+                    f"{path}: implausible quantization bits prob={pb} "
+                    f"backoff={bb}; incompatible trie layout")
+            pos = off + 8
+            mid_tables = []
+            for o in range(2, order):
+                qp = np.frombuffer(mm, np.float32, 1 << pb, pos)
+                pos += 4 << pb
+                qb = np.frombuffer(mm, np.float32, 1 << bb, pos)
+                pos += 4 << bb
+                mid_tables.append((qp, qb))
+            q_long = np.frombuffer(mm, np.float32, 1 << pb, pos)
+            pos += 4 << pb
+            self._quant = dict(prob_bits=pb, back_bits=bb,
+                               middles=mid_tables, longest=q_long)
+            off = pos
+
         # -- unigram: (V + 2) x {f32 prob, f32 backoff, u64 next} ----------
         v = counts[0]
         raw = np.frombuffer(mm, np.uint8, 16 * (v + 1), off)
@@ -205,16 +243,29 @@ class KenLMTrie:
         for o in range(2, order):
             entries = counts[o - 1]
             next_bits = required_bits(counts[o])
-            total = word_bits + 31 + 32 + next_bits
+            if self._quant is not None:
+                # packed as (prob_idx << backoff_bits) | backoff_idx, one
+                # LSB-first field -> backoff index sits in the lower bits
+                pb, bb = self._quant["prob_bits"], self._quant["back_bits"]
+                qp, qb = self._quant["middles"][o - 2]
+                total = word_bits + pb + bb + next_bits
+                layout = dict(back_off=word_bits, back_bits=bb,
+                              prob_off=word_bits + bb, prob_bits=pb,
+                              next_off=word_bits + bb + pb,
+                              qprob=qp, qback=qb)
+            else:
+                total = word_bits + 31 + 32 + next_bits
+                layout = dict(prob_off=word_bits, prob_bits=31,
+                              back_off=word_bits + 31, back_bits=32,
+                              next_off=word_bits + 63,
+                              qprob=None, qback=None)
             nbytes = ((entries + 1) * total + 7) // 8 + 8
             # the +8 slack is layout (KenLM pads each bit array); the VIEW
             # clamps to the file so a level flush with EOF still maps
             bits = _BitArray(np.frombuffer(
                 mm, np.uint8, min(nbytes, len(mm) - off), off))
             level = dict(bits=bits, entries=entries, total=total,
-                         word_bits=word_bits, next_bits=next_bits,
-                         prob_off=word_bits, back_off=word_bits + 31,
-                         next_off=word_bits + 63)
+                         word_bits=word_bits, next_bits=next_bits, **layout)
             self._middles.append(level)
             off += nbytes
             term_next = bits.read(entries * total + level["next_off"],
@@ -228,12 +279,18 @@ class KenLMTrie:
         # -- longest level --------------------------------------------------
         if order > 1:
             entries = counts[order - 1]
-            total = word_bits + 31
+            if self._quant is not None:
+                pb = self._quant["prob_bits"]
+                q_long = self._quant["longest"]
+            else:
+                pb, q_long = 31, None
+            total = word_bits + pb
             nbytes = (entries * total + 7) // 8 + 8
             self._longest = dict(
                 bits=_BitArray(np.frombuffer(
                     mm, np.uint8, min(nbytes, len(mm) - off), off)),
-                entries=entries, total=total, word_bits=word_bits)
+                entries=entries, total=total, word_bits=word_bits,
+                prob_bits=pb, qprob=q_long)
             off += nbytes
         else:
             self._longest = None
@@ -268,6 +325,7 @@ class KenLMTrie:
     def close(self):
         self._uni_pb = None
         self._uni_next = None
+        self._quant = None
         self._vocab_hashes = None
         self._middles = []
         self._longest = None
@@ -288,6 +346,28 @@ class KenLMTrie:
         if wid is not None:
             return wid
         return self._hash_id(word)
+
+    @staticmethod
+    def _mid_prob_back(lvl, base: int):
+        """(log10 prob, backoff) of a middle-level entry at bit ``base``;
+        one table load per value when quantized."""
+        bits = lvl["bits"]
+        if lvl["qprob"] is not None:
+            p = float(lvl["qprob"][bits.read(base + lvl["prob_off"],
+                                             lvl["prob_bits"])])
+            b = float(lvl["qback"][bits.read(base + lvl["back_off"],
+                                             lvl["back_bits"])])
+            return p, b
+        return (_float_from_np31(bits.read(base + lvl["prob_off"], 31)),
+                _float_from_bits(bits.read(base + lvl["back_off"], 32)))
+
+    @staticmethod
+    def _longest_prob(lvl, i: int):
+        raw = lvl["bits"].read(i * lvl["total"] + lvl["word_bits"],
+                               lvl["prob_bits"])
+        if lvl["qprob"] is not None:
+            return float(lvl["qprob"][raw])
+        return _float_from_np31(raw)
 
     def _find_in_level(self, level, begin: int, end: int, wid: int):
         """Binary search for ``wid`` in the entry range [begin, end)."""
@@ -323,8 +403,7 @@ class KenLMTrie:
                 i = self._find_in_level(lvl, begin, end, w)
                 if i is None:
                     return None
-                prob = _float_from_np31(
-                    lvl["bits"].read(i * lvl["total"] + lvl["word_bits"], 31))
+                prob = self._longest_prob(lvl, i)
                 backoff = 0.0
                 break
             lvl = self._middles[depth - 2]
@@ -332,10 +411,7 @@ class KenLMTrie:
             if i is None:
                 return None
             base = i * lvl["total"]
-            prob = _float_from_np31(lvl["bits"].read(
-                base + lvl["prob_off"], 31))
-            backoff = _float_from_bits(lvl["bits"].read(
-                base + lvl["back_off"], 32))
+            prob, backoff = self._mid_prob_back(lvl, base)
             begin = lvl["bits"].read(base + lvl["next_off"],
                                      lvl["next_bits"])
             end = lvl["bits"].read(base + lvl["total"] + lvl["next_off"],
@@ -401,7 +477,7 @@ class KenLMTrie:
             bits, total, wb = lvl["bits"], lvl["total"], lvl["word_bits"]
             for i in range(begin, end):
                 w = bits.read(i * total, wb)
-                prob = _float_from_np31(bits.read(i * total + wb, 31))
+                prob = self._longest_prob(lvl, i)
                 yield (depth, (w,) + path,
                        None if prob == _NEG_INF else prob, 0.0)
             return
@@ -410,8 +486,7 @@ class KenLMTrie:
         for i in range(begin, end):
             base = i * total
             w = bits.read(base, lvl["word_bits"])
-            prob = _float_from_np31(bits.read(base + lvl["prob_off"], 31))
-            bo = _float_from_bits(bits.read(base + lvl["back_off"], 32))
+            prob, bo = self._mid_prob_back(lvl, base)
             b2 = bits.read(base + lvl["next_off"], lvl["next_bits"])
             e2 = bits.read(base + total + lvl["next_off"], lvl["next_bits"])
             ids = (w,) + path

@@ -115,20 +115,21 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
 
     if use_pallas:
         from deepspeech_tpu.ops.pallas import (
-            bigru_scan_pallas, bilstm_scan_pallas, gru_scan_pallas,
-            lstm_scan_pallas)
+            bigru_layer_pallas, bigru_scan_pallas, bilstm_layer_pallas,
+            bilstm_scan_pallas, fused_layer_fits, gru_layer_pallas,
+            gru_scan_pallas, lstm_layer_pallas, lstm_scan_pallas)
 
         # Zero-copy bidirectionality: the kernel's backward-direction blocks
         # walk the time grid in reverse via their BlockSpec index maps, so
-        # BOTH directions consume the projections in original time order —
-        # no flip / per-sample gather on the (T,B,G·H) streams. Padded steps
-        # are state-frozen in-kernel from `lengths` (see rnn_kernel.py).
+        # BOTH directions consume the input in original time order — no
+        # flip / per-sample gather on the streams. Padded steps are
+        # state-frozen in-kernel from `lengths` (see rnn_kernel.py).
         interp = impl == "pallas_interpret"
         # kernel stream dtype: bf16 on TPU; f32 under the CPU interpreter
         # (whose backend lacks fast bf16 dots).
         sdt = jnp.float32 if interp else jnp.bfloat16
         # Mosaic requires slices along the sublane (batch) dim of the
-        # (chunk, B, G·H) blocks to be 8-aligned; pad B up front (cheap: the
+        # (chunk, B, ·) blocks to be 8-aligned; pad B up front (cheap: the
         # pad rides the small (T, B, F) input, padded rows carry length 0 and
         # are sliced off the outputs below).
         bpad = (-b) % 8
@@ -136,17 +137,6 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         if bpad:
             xk = jnp.pad(x, ((0, 0), (0, bpad), (0, 0)))
             lk = jnp.pad(lengths, (0, bpad))
-        # Raw per-direction input projections, one (T·B, F)x(F, G·H) MXU
-        # matmul each; biases are added in-kernel so the convert fuses into
-        # the matmul epilogue and no f32 copy of the stream is materialized.
-        # Two separate einsums (not one d-batched "tbf,dfg->dtbg"): the
-        # batched form materializes a d-major transpose of the (T,B,G·H)
-        # streams in forward AND backward plus xp[0]/xp[1] slice copies —
-        # ~0.7 ms/layer of pure data movement on the profile.
-        xks = xk.astype(sdt)
-        xp = [jnp.einsum("tbf,fg->tbg", xks, w_ih[d].astype(sdt),
-                         preferred_element_type=jnp.float32).astype(sdt)
-              for d in range(w_ih.shape[0])]
         b_ih32 = b_ih.astype(jnp.float32)
         b_hh32 = b_hh.astype(jnp.float32)
         w_hh32 = w_hh.astype(jnp.float32)  # kernels cast to bf16 on TPU
@@ -156,14 +146,45 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         # requires to be zero.
         mask = (jnp.arange(t)[:, None] < lengths[None, :]
                 ).astype(jnp.float32)[:, :, None]
+        # Projection-fused layer kernels (ops/pallas/rnn_fused.py): x goes
+        # straight into the kernel and the (T, B, G·H) projection streams
+        # never touch HBM — the r4 VERDICT's #1 HBM frontier. Falls back to
+        # the external-projection kernels when pinning W_ih alongside W_hh
+        # would overflow VMEM (very wide H).
+        fused = fused_layer_fits(x.shape[2], hidden, gates,
+                                 b + bpad, d, 4 if interp else 2)
+        xks = xk.astype(sdt)
+        if not fused:
+            # Raw per-direction input projections, one (T·B, F)x(F, G·H)
+            # MXU matmul each; biases are added in-kernel so the convert
+            # fuses into the matmul epilogue and no f32 copy of the stream
+            # is materialized. Two separate einsums (not one d-batched
+            # "tbf,dfg->dtbg"): the batched form materializes a d-major
+            # transpose of the streams in forward AND backward plus slice
+            # copies — ~0.7 ms/layer of pure data movement on the profile.
+            xp = [jnp.einsum("tbf,fg->tbg", xks, w_ih[di].astype(sdt),
+                             preferred_element_type=jnp.float32).astype(sdt)
+                  for di in range(w_ih.shape[0])]
         if bidirectional:
             lens = lk.astype(jnp.float32)[:, None]  # (B + pad, 1)
-            fn = bigru_scan_pallas if cell == "gru" else bilstm_scan_pallas
-            h_f, h_b = fn(xp[0], xp[1], b_ih32, w_hh32, b_hh32, lens, interp)
+            if fused:
+                fn = (bigru_layer_pallas if cell == "gru"
+                      else bilstm_layer_pallas)
+                h_f, h_b = fn(xks, w_ih.astype(sdt), b_ih32, w_hh32, b_hh32,
+                              lens, interp)
+            else:
+                fn = (bigru_scan_pallas if cell == "gru"
+                      else bilstm_scan_pallas)
+                h_f, h_b = fn(xp[0], xp[1], b_ih32, w_hh32, b_hh32, lens,
+                              interp)
             h_f, h_b = h_f[:, :b], h_b[:, :b]
             if sum_directions:  # reference model.py:106-107 sums directions
                 return (h_f + h_b) * mask
             return jnp.concatenate([h_f, h_b], axis=-1) * mask
+        if fused:
+            fn = gru_layer_pallas if cell == "gru" else lstm_layer_pallas
+            return fn(xks, w_ih.astype(sdt), b_ih32, w_hh32, b_hh32,
+                      interp)[:, :b] * mask
         fn = gru_scan_pallas if cell == "gru" else lstm_scan_pallas
         return fn(xp[0], b_ih32, w_hh32, b_hh32, interp)[:, :b] * mask
     else:

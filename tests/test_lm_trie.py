@@ -80,10 +80,17 @@ def _f32(x: float) -> int:
     return int(np.float32(x).view(np.uint32))
 
 
-def write_trie_binary(path: str, arpa: ArpaLM):
+def write_trie_binary(path: str, arpa: ArpaLM, quant=None):
     """Hand-built KenLM TRIE-format writer: Sanity + params + counts,
     SortedVocabulary, dense unigram records, bit-packed middle/longest
-    levels in suffix order, trailing word strings."""
+    levels in suffix order, trailing word strings.
+
+    ``quant=(prob_bits, backoff_bits)`` writes a type-3 quantized trie
+    (quantize.hh SeparatelyQuantize): center tables between the vocab and
+    unigram sections, per-entry indices packed
+    ``(prob_idx << backoff_bits) | backoff_idx`` LSB-first. Tables here
+    hold the exact distinct values (lossless when they fit), with KenLM's
+    reserved -0.0/0.0 leading the backoff table."""
     order = arpa.order
     grams = {k: {} for k in range(1, order + 1)}
     for words, (lp, bo) in arpa.ngrams.items():
@@ -144,7 +151,7 @@ def write_trie_binary(path: str, arpa: ArpaLM):
     fp = bytearray(_FIXED_PARAMS_SIZE)
     fp[0] = order
     struct.pack_into("<f", fp, 4, 1.5)
-    struct.pack_into("<i", fp, 8, 2)  # MODEL_TRIE
+    struct.pack_into("<i", fp, 8, 3 if quant else 2)  # (QUANT_)TRIE
     fp[12] = 1
     struct.pack_into("<I", fp, 16, 1)
     out += fp
@@ -156,6 +163,29 @@ def write_trie_binary(path: str, arpa: ArpaLM):
     out += struct.pack("<Q", len(others))
     for w in others:
         out += struct.pack("<Q", murmur_hash64a(w.encode("utf8")))
+
+    # quantization section (type 3): header + center tables
+    qtab = {}
+    if quant and order > 1:
+        pb, bb = quant
+
+        def centers(vals, nbits, reserved=()):
+            vals = list(reserved) + sorted(
+                {v for v in vals if v not in set(reserved)})
+            assert len(vals) <= (1 << nbits), "test LM too big for bits"
+            vals = vals + [vals[-1]] * ((1 << nbits) - len(vals))
+            return np.asarray(vals, np.float32)
+
+        out += bytes([2, pb, bb]) + b"\x00" * 5
+        for d in range(2, order):
+            ptab = centers([lp for lp, _ in nodes[d].values()], pb)
+            btab = centers([bo for _, bo in nodes[d].values()], bb,
+                           reserved=(-0.0, 0.0))
+            qtab[d] = (ptab, btab)
+            out += ptab.tobytes() + btab.tobytes()
+        ltab = centers([lp for lp, _ in nodes[order].values()], pb)
+        qtab[order] = (ltab, None)
+        out += ltab.tobytes()
 
     # unigram records (V + 2)
     def child_begin(d, path):
@@ -182,10 +212,14 @@ def write_trie_binary(path: str, arpa: ArpaLM):
 
     word_bits = required_bits(counts[0])
 
+    def qidx(tab, v):
+        return int(np.nonzero(tab == np.float32(v))[0][0])
+
     # middle levels
     for d in range(2, order):
         next_bits = required_bits(counts[d])
-        total = word_bits + 31 + 32 + next_bits
+        pv_bits = (quant[0] + quant[1]) if quant else 63
+        total = word_bits + pv_bits + next_bits
         entries = level_entries[d]
         w_ = BitWriterLSB()
         next_ptr = 0
@@ -196,26 +230,33 @@ def write_trie_binary(path: str, arpa: ArpaLM):
             begin = kids[0] if kids else next_ptr
             next_ptr = begin + len(kids) if kids else next_ptr
             w_.write(pth[-1], word_bits)
-            w_.write(_np31(lp), 31)
-            w_.write(_f32(bo), 32)
+            if quant:
+                ptab, btab = qtab[d]
+                w_.write((qidx(ptab, lp) << quant[1]) | qidx(btab, bo),
+                         pv_bits)
+            else:
+                w_.write(_np31(lp), 31)
+                w_.write(_f32(bo), 32)
             w_.write(begin, next_bits)
         # terminator entry: next = next-level count
         w_.write(0, word_bits)
-        w_.write(0, 31)
-        w_.write(0, 32)
+        w_.write(0, pv_bits)
         w_.write(counts[d], next_bits)
         nbytes = ((len(entries) + 1) * total + 7) // 8 + 8
         out += w_.tobytes(nbytes)
 
     # longest level
     if order > 1:
-        total = word_bits + 31
+        total = word_bits + (quant[0] if quant else 31)
         entries = level_entries[order]
         w_ = BitWriterLSB()
         for pth in entries:
             lp, _ = nodes[order][pth]
             w_.write(pth[-1], word_bits)
-            w_.write(_np31(lp), 31)
+            if quant:
+                w_.write(qidx(qtab[order][0], lp), quant[0])
+            else:
+                w_.write(_np31(lp), 31)
         nbytes = (len(entries) * total + 7) // 8 + 8
         out += w_.tobytes(nbytes)
 
@@ -224,22 +265,26 @@ def write_trie_binary(path: str, arpa: ArpaLM):
         f.write(bytes(out))
 
 
-@pytest.fixture(params=["bigram", "trigram", "gappy"])
+@pytest.fixture(params=["bigram", "trigram", "gappy",
+                        "trigram-q", "gappy-q"])
 def pair(request, tmp_path):
+    base = request.param.removesuffix("-q")
     text = {"bigram": ARPA, "trigram": TRIGRAM_ARPA,
-            "gappy": GAPPY_ARPA}[request.param]
+            "gappy": GAPPY_ARPA}[base]
     p = tmp_path / "t.arpa"
     p.write_text(text)
     arpa = ArpaLM(str(p))
     binp = tmp_path / "t.trie.binary"
-    write_trie_binary(str(binp), arpa)
+    quant = (5, 4) if request.param.endswith("-q") else None
+    write_trie_binary(str(binp), arpa, quant=quant)
     return arpa, str(binp)
 
 
 class TestReader:
-    def test_type_detection(self, pair):
+    def test_type_detection(self, pair, request):
         _, binp = pair
-        assert kenlm_model_type(binp) == 2
+        want = 3 if "-q]" in request.node.name else 2
+        assert kenlm_model_type(binp) == want
         assert is_kenlm_trie(binp)
 
     def test_header(self, pair):
@@ -310,17 +355,24 @@ class TestReader:
         # and the full trigram still hits through the blank's children
         assert lm.score_word(("A", "B"), "C") == pytest.approx(-0.3, abs=1e-5)
 
-    def test_quantized_rejected(self, pair, tmp_path):
-        _, binp = pair
+    def test_bhiksha_rejected_and_fake_quant_fails_loudly(self, tmp_path):
+        p = tmp_path / "t.arpa"
+        p.write_text(TRIGRAM_ARPA)
+        arpa = ArpaLM(str(p))
+        binp = tmp_path / "t.binary"
+        write_trie_binary(str(binp), arpa)
         data = bytearray(open(binp, "rb").read())
-        struct.pack_into("<i", data, sanity_size() + 8, 3)  # QUANT_TRIE
+        struct.pack_into("<i", data, sanity_size() + 8, 4)  # ARRAY_TRIE
         q = tmp_path / "q.binary"
         q.write_bytes(bytes(data))
-        with pytest.raises(ValueError, match="quantized"):
-            KenLMTrie(str(q))
-        struct.pack_into("<i", data, sanity_size() + 8, 4)  # ARRAY_TRIE
-        q.write_bytes(bytes(data))
         with pytest.raises(ValueError, match="Bhiksha"):
+            KenLMTrie(str(q))
+        # type byte flipped to QUANT_TRIE without actual quant tables:
+        # the version check must fail loudly, never misparse
+        struct.pack_into("<i", data, sanity_size() + 8, 3)
+        q.write_bytes(bytes(data))
+        with pytest.raises(ValueError,
+                           match="quantization version|implausible"):
             KenLMTrie(str(q))
 
     def test_corrupt_terminator_rejected(self, tmp_path):
