@@ -84,6 +84,17 @@ class RecurrentLayer(nn.Module):
         b_ih = self.param("b_ih", uniform, (d, g * h))
         w_hh = self.param("w_hh", uniform, (d, h, g * h))
         b_hh = self.param("b_hh", uniform, (d, g * h))
+        # Tensor parallelism: under an ambient 2-wide `model` mesh axis the
+        # two directions run on separate chips (weights + optimizer moments
+        # direction-sharded, recurrence fully local, one psum per layer) —
+        # see parallel/tp_rnn.py. Returns None when not applicable.
+        from deepspeech_tpu.parallel.tp_rnn import maybe_direction_sharded
+        out = maybe_direction_sharded(
+            x, lengths, w_ih, b_ih, w_hh, b_hh, cell=self.cell,
+            bidirectional=self.bidirectional, sum_directions=True,
+            compute_dtype=self.compute_dtype)
+        if out is not None:
+            return out
         return rnn_scan(x, lengths, w_ih, b_ih, w_hh, b_hh, cell=self.cell,
                         bidirectional=self.bidirectional, sum_directions=True,
                         compute_dtype=self.compute_dtype)

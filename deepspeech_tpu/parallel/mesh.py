@@ -58,40 +58,44 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
-def param_spec(path: tuple, leaf) -> P:
-    """Sharding rule for model parameters.
+def param_spec(path: tuple, leaf) -> tuple:
+    """Sharding rule candidates for one model parameter, best first.
 
-    RNN input/hidden projections shard their gate (output) dimension over
-    ``model``; the classifier head shards its output classes; everything
-    else (biases, BN, convs) is replicated — they are tiny.
+    Bidirectional RNN weights shard their DIRECTION axis over ``model``
+    (the parallel/tp_rnn.py scheme: each chip holds one direction's
+    weights + moments and runs the recurrence locally — the sharding the
+    Pallas kernels can actually execute without a weight all-gather);
+    where that doesn't divide (unidirectional models, model > 2) they fall
+    back to gate-dim sharding (GSPMD inserts the per-step collectives on
+    the XLA scan path). The classifier head shards its output classes;
+    everything else (biases, BN, convs) replicates — they are tiny.
     """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     last = names[-1] if names else ""
     in_rnn = any(str(n).startswith("rnn") for n in names)
     if in_rnn and last in ("w_ih", "w_hh"):
-        return P(None, None, "model")   # (D, F|H, G*H): shard gates
+        # (D, F|H, G*H): directions first, gates as fallback
+        return (P("model", None, None), P(None, None, "model"))
     if in_rnn and last in ("b_ih", "b_hh"):
-        return P(None, "model")
+        return (P("model", None), P(None, "model"))
     if "fc" in names and last == "kernel":
-        return P(None, "model")
-    return P()
+        return (P(None, "model"),)
+    return (P(),)
 
 
 def _spec_for_leaf(mesh: Mesh, path: tuple, leaf) -> P:
-    """`param_spec` with shape guards: a spec only applies when the leaf has
-    enough dims and every sharded dim divides evenly over its mesh axis
-    (e.g. a 30-class head on model=4 falls back to replication instead of
-    erroring)."""
-    spec = param_spec(path, leaf)
+    """First `param_spec` candidate whose every sharded dim divides evenly
+    over its mesh axis (e.g. bidirectional weights direction-shard on
+    model=2 but gate-shard on model=4; a 30-class head on model=4 falls
+    back to replication instead of erroring)."""
     shape = getattr(leaf, "shape", ())
-    if len(spec) > len(shape):
-        return P()
-    for dim, axis in enumerate(spec):
-        if axis is None:
+    for spec in param_spec(path, leaf):
+        if len(spec) > len(shape):
             continue
-        if shape[dim] % mesh.shape[axis] != 0:
-            return P()
-    return spec
+        if all(axis is None or shape[dim] % mesh.shape[axis] == 0
+               for dim, axis in enumerate(spec)):
+            return spec
+    return P()
 
 
 def make_param_shardings(mesh: Mesh, params) -> dict:

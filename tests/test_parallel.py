@@ -79,12 +79,14 @@ def test_mesh_step_matches_single_device(data, model_axis):
                                    rtol=5e-4, atol=5e-4)
 
 
-def test_param_spec_shards_rnn_gates():
+def test_param_spec_shards_rnn_weights():
     mesh = make_mesh(data=4, model=2)
     _, _, state, _, _ = _setup()
     sh = make_param_shardings(mesh, state.params)
+    # model=2 + bidirectional: DIRECTION sharding (each chip holds one
+    # direction's weights; parallel/tp_rnn.py runs its recurrence locally)
     w_ih = sh["rnn0"]["w_ih"]
-    assert w_ih.spec == jax.sharding.PartitionSpec(None, None, "model")
+    assert w_ih.spec == jax.sharding.PartitionSpec("model", None, None)
     assert sh["fc"]["kernel"].spec == jax.sharding.PartitionSpec(
         None, "model")
     assert sh["conv"]["conv0"]["kernel"].spec == jax.sharding.PartitionSpec()

@@ -1,0 +1,170 @@
+"""Analytic DP/TP scaling audit: inventory the compiled train step's
+collectives and bound the communication fraction.
+
+The timing-based scaling proxy (bench.py --mode scaling) runs N virtual
+CPU devices on a 2-core host, so its ratio confounds collective cost with
+CPU oversubscription (r4 measured 0.80 against a 0.90 north star, r3
+0.93 — the spread IS the host noise). This tool removes the confound by
+not timing anything host-bound at all:
+
+1. jit the real train step over a (data=N, model=M) virtual mesh and
+   compile it (same GSPMD partitioner as a TPU pod);
+2. walk the compiled HLO and sum the bytes moved by every collective
+   (all-reduce / all-gather / reduce-scatter / collective-permute /
+   all-to-all);
+3. convert to seconds on the target interconnect (ring all-reduce moves
+   2(N-1)/N x bytes per chip) and compare against the measured on-chip
+   step time (BENCH step mode) for the analytic efficiency bound
+
+       eff >= t_compute / (t_compute + t_comm)      (zero overlap)
+       eff <= 1                                     (full overlap)
+
+XLA overlaps grad all-reduces with the backward pass, so the truth sits
+between the bounds; the ZERO-overlap bound landing above 0.90 settles the
+north star without appealing to host behavior.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python tools/collective_audit.py [data] [model]
+
+Env: AUDIT_HIDDEN/AUDIT_LAYERS/AUDIT_BATCH/AUDIT_SECONDS mirror the bench
+step config; AUDIT_ICI_GBPS sets the per-chip interconnect bandwidth
+(default 45 GB/s per direction - TPU v5e ICI per link); AUDIT_STEP_MS the
+measured single-chip step time (default 33.2 ms, BENCH r5 step mode).
+"""
+
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8,
+                "s32": 4, "u64": 8, "u32": 4, "s16": 2, "u16": 2,
+                "s8": 1, "u8": 1, "pred": 1}
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """'f32[2,800,2400]' -> bytes."""
+    m = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape_str)
+    if not m:
+        return 0
+    dt, dims = m.group(1), m.group(2)
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def audit_hlo(txt: str) -> dict:
+    """Per-collective-kind (count, bytes) from compiled HLO text.
+
+    Handles variadic collectives whose result is a TUPLE of shapes
+    (one fused all-reduce over many grad tensors) by summing every
+    element; `-done` halves of async pairs are skipped so split
+    start/done ops are not double counted."""
+    out = {k: {"count": 0, "bytes": 0} for k in _COLLECTIVES}
+    # one op per line:  %ar = (f32[800,2400]{1,0}, ...) all-reduce(...)
+    op_pat = re.compile(r"\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
+    for line in txt.splitlines():
+        if "=" not in line:
+            continue
+        m = op_pat.search(line)
+        if m is None or m.group(2) == "-done":
+            continue
+        kind = m.group(1)
+        result = line.split("=", 1)[1][: m.start() - line.index("=") - 1]
+        out[kind]["count"] += 1
+        out[kind]["bytes"] += sum(
+            shape_bytes(s) for s in re.findall(r"[a-z0-9]+\[[0-9,]*\]",
+                                               result))
+    return out
+
+
+def build_compiled_step(data: int, model: int):
+    import jax
+    import jax.numpy as jnp
+
+    from deepspeech_tpu.audio import AudioConf
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              make_state_shardings)
+    from deepspeech_tpu.train import (StepConfig, TrainState,
+                                      build_optimizer, make_train_step)
+
+    hidden = int(os.environ.get("AUDIT_HIDDEN", 800))
+    layers = int(os.environ.get("AUDIT_LAYERS", 6))
+    batch = int(os.environ.get("AUDIT_BATCH", 20))
+    seconds = float(os.environ.get("AUDIT_SECONDS", 7.5))
+    mesh = make_mesh(data=data, model=model)
+    jax.set_mesh(mesh)
+    model_m = DeepSpeech2(num_classes=30, hidden_size=hidden,
+                          hidden_layers=layers, cell="gru",
+                          bidirectional=True, compute_dtype=jnp.bfloat16)
+    tx = build_optimizer("sgd", lr=3e-4, momentum=0.9, max_norm=100.0)
+    variables = model_m.init(jax.random.PRNGKey(0), jnp.zeros((1, 161, 51)),
+                             jnp.asarray([51]), False)
+    state = TrainState.create(variables, tx)
+    nparams = sum(int(np.prod(p.shape))
+                  for p in jax.tree_util.tree_leaves(state.params))
+    step = make_train_step(model_m, tx, StepConfig(audio_conf=AudioConf()),
+                           donate=False)
+    ns = int(16000 * seconds)
+    bsh = batch_sharding(mesh)
+    batch_args = {
+        "audio": jax.ShapeDtypeStruct((batch, ns), jnp.float32, sharding=bsh),
+        "audio_lengths": jax.ShapeDtypeStruct((batch,), jnp.int32,
+                                              sharding=bsh),
+        "targets": jax.ShapeDtypeStruct((batch, 96), jnp.int32, sharding=bsh),
+        "target_lengths": jax.ShapeDtypeStruct((batch,), jnp.int32,
+                                               sharding=bsh),
+    }
+    st_sh = make_state_shardings(mesh, state)
+    state_args = jax.tree.map(
+        lambda leaf, sh: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                              sharding=sh),
+        state, st_sh)
+    rng_arg = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    compiled = step.lower(state_args, batch_args, rng_arg).compile()
+    return compiled, nparams
+
+
+def main():
+    data = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    model = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    compiled, nparams = build_compiled_step(data, model)
+    txt = compiled.as_text()
+    per = audit_hlo(txt)
+    total_bytes = sum(v["bytes"] for v in per.values())
+
+    ici = float(os.environ.get("AUDIT_ICI_GBPS", 45.0)) * 1e9
+    step_ms = float(os.environ.get("AUDIT_STEP_MS", 33.2))
+    n = data * model
+    # ring all-reduce per-chip wire traffic: 2(N-1)/N x payload; other
+    # collectives counted at payload bytes (upper-bounding is fine here)
+    ar = per["all-reduce"]["bytes"] * 2 * (n - 1) / max(n, 1)
+    rest = total_bytes - per["all-reduce"]["bytes"]
+    t_comm_ms = (ar + rest) / ici * 1e3
+    eff_zero_overlap = step_ms / (step_ms + t_comm_ms)
+    print(json.dumps({
+        "mesh": {"data": data, "model": model},
+        "params": nparams,
+        "collectives": per,
+        "collective_payload_bytes": total_bytes,
+        "wire_bytes_per_chip_ring": int(ar + rest),
+        "ici_gbps_assumed": ici / 1e9,
+        "measured_step_ms": step_ms,
+        "t_comm_ms": round(t_comm_ms, 3),
+        "dp_efficiency_zero_overlap_bound": round(eff_zero_overlap, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
