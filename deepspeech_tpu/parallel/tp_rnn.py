@@ -47,15 +47,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def ambient_model_axis_size() -> int:
-    """Size of the ambient mesh's ``model`` axis (1 = no TP / no mesh)."""
+def _ambient_axes() -> dict:
     try:
         mesh = jax.sharding.get_abstract_mesh()
     except Exception:  # pragma: no cover - very old jax
-        return 1
+        return {}
     if mesh is None or getattr(mesh, "empty", False):
-        return 1
-    return int(dict(getattr(mesh, "shape", {})).get(MODEL_AXIS, 1))
+        return {}
+    return dict(getattr(mesh, "shape", {}))
+
+
+def ambient_model_axis_size() -> int:
+    """Size of the ambient mesh's ``model`` axis (1 = no TP / no mesh)."""
+    return int(_ambient_axes().get(MODEL_AXIS, 1))
 
 
 def direction_sharded_rnn(x, lengths, w_ih, b_ih, w_hh, b_hh, *,
@@ -112,7 +116,12 @@ def maybe_direction_sharded(x, lengths, w_ih, b_ih, w_hh, b_hh, *,
     return None (caller falls back to its normal rnn_scan lowering)."""
     if not (bidirectional and sum_directions and w_ih.shape[0] == 2):
         return None
-    if ambient_model_axis_size() != 2:
+    axes = _ambient_axes()
+    if int(axes.get(MODEL_AXIS, 1)) != 2:
+        return None
+    # the batch must tile the data axis (model.init traces with batch 1 —
+    # it only creates params, so the plain lowering is fine there)
+    if x.shape[1] % int(axes.get(DATA_AXIS, 1)) != 0:
         return None
     return direction_sharded_rnn(x, lengths, w_ih, b_ih, w_hh, b_hh,
                                  cell=cell, compute_dtype=compute_dtype,

@@ -18,13 +18,24 @@ MaskConv-style zeros at the end; pinned in tests/test_streaming_cnn.py).
 Squeeze-excitation (cnn_residual / cnn_jasper) is the one utterance-
 GLOBAL op in the family: the gate averages over all frames
 (cnn.py ConvBlock, reference model.py:712-716), so no finite-lookahead
-stream can match the batch gate.  ``se_mode="running"`` (default)
-replaces it with the running mean over all frames finalized so far —
-per-block running sums accumulated over each chunk's newly-final slice
-(lagged per-layer so contributions are final values, each counted once).
-The gate converges to the batch gate as the stream proceeds (and the
-running counts provably cover every valid frame exactly once by
-finish()); ``se_mode="error"`` refuses instead.
+stream can match the batch gate mid-utterance — that bound is
+information-theoretic, not an implementation gap.  Three modes:
+
+* ``se_mode="running"`` (default) replaces the gate with the running
+  mean over all frames finalized so far — per-block running sums
+  accumulated over each chunk's newly-final slice (lagged per-layer so
+  contributions are final values, each counted once).  The gate
+  converges to the batch gate as the stream proceeds (and the running
+  counts provably cover every valid frame exactly once by finish()).
+* ``se_mode="two_pass"`` keeps the running gate for the INCREMENTAL
+  fragments (live UX unchanged), then on finish() reruns the retained
+  utterance through the exact batch forward: after finish(),
+  ``texts`` / ``collected_logits`` / ``beam_texts`` equal the batch
+  model EXACTLY (pinned in tests/test_streaming_cnn.py).  Cost: raw
+  audio retained per stream + one batch forward at finish.  Not usable
+  under StreamPool slot reuse (slots finish at different times; the
+  pool keeps "running").
+* ``se_mode="error"`` refuses SE stacks outright.
 
 Receptive-field geometry is folded through the block specs exactly:
 layer l maps composite spans via LO -= A*p, HI += A*(d*(k-1) - p),
@@ -38,6 +49,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from deepspeech_tpu.models.cnn import ConvBlock, ConvStack, conv1d_out_length, swish
 from deepspeech_tpu.serve.streaming import (
@@ -83,10 +95,12 @@ class CNNStreamingTranscriber(StreamingTranscriber):
 
     def __init__(self, model: ConvStack, variables, labels, *args,
                  se_mode: str = "running", **kw):
-        if se_mode not in ("running", "error"):
-            raise ValueError(f"se_mode must be running|error, got {se_mode!r}")
+        if se_mode not in ("running", "two_pass", "error"):
+            raise ValueError("se_mode must be running|two_pass|error, "
+                             f"got {se_mode!r}")
         self.se_mode = se_mode
         super().__init__(model, variables, labels, *args, **kw)
+        self._has_se = any(_is_se(s) for s in model.blocks)
 
     # -- model-family hooks --------------------------------------------------
 
@@ -144,6 +158,77 @@ class CNNStreamingTranscriber(StreamingTranscriber):
         for key in c:
             if key.startswith("se_sum") or key.startswith("se_cnt"):
                 c[key] = c[key].at[s].set(0.0)
+
+    # -- exact two-pass SE (se_mode="two_pass") -----------------------------
+
+    def _two_pass_active(self) -> bool:
+        return self.se_mode == "two_pass" and self._has_se
+
+    def reset(self):
+        super().reset()
+        self._raw = []            # retained raw audio for the second pass
+        self._exact = None        # (logits (B,T,C) f32, out_lens (B,))
+
+    def feed(self, samples):
+        if self._two_pass_active():
+            s = np.asarray(samples, np.float32)
+            self._raw.append(s[None, :] if s.ndim == 1 else s.copy())
+        return super().feed(samples)
+
+    def finish(self):
+        if self._finished:
+            return [""] * self.batch_size
+        out = super().finish()
+        if self._two_pass_active() and self._raw:
+            self._run_second_pass(np.concatenate(self._raw, axis=1))
+        return out
+
+    def _run_second_pass(self, y: np.ndarray):
+        """Batch-exact recompute over the retained utterance: replaces the
+        collected logits and texts (and the basis for beam_texts) with the
+        true global-gate forward — the provisional running-gate stream
+        becomes exact at finish."""
+        from deepspeech_tpu.audio.features import featurize_batch
+        from deepspeech_tpu.decoders import GreedyDecoder
+
+        audio = jnp.asarray(y)
+        lengths = jnp.full((y.shape[0],), y.shape[1], jnp.int32)
+        spect, frame_lengths = featurize_batch(audio, lengths, self.conf,
+                                               normalize=self.normalize)
+        logits, _, out_lens = self.model.apply(self.variables, spect,
+                                               frame_lengths, False)
+        logits = np.asarray(logits, np.float32)
+        out_lens = np.asarray(out_lens)
+        self._exact = (logits, out_lens)
+        dec = GreedyDecoder(self.labels.labels,
+                            blank_index=self.labels.blank_index)
+        strings, _ = dec.decode_ids(np.argmax(logits, -1), out_lens)
+        self._texts = [s[0] for s in strings]
+
+    def collected_logits(self) -> np.ndarray:
+        if self._exact is not None:
+            logits, out_lens = self._exact
+            return logits[:, : int(out_lens.max())]
+        return super().collected_logits()
+
+    def beam_texts(self, top_paths: int = 1):
+        if self._exact is None:
+            return super().beam_texts(top_paths)
+        # exact pass: full-utterance device beam over the exact posteriors
+        # (== the one-shot batch beam; chunked == one-shot is pinned for
+        # the provisional path already)
+        from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
+        logits, out_lens = self._exact
+        dec = DeviceBeamCTCDecoder(
+            self.labels.labels, beam_width=self.beam_width,
+            blank_index=self.labels.blank_index,
+            lm_path=None, top_paths=top_paths)
+        if self.lm is not None:
+            dec.lm = self.lm
+            dec.alpha, dec.beta = self.lm_alpha, self.lm_beta
+        probs = jax.nn.softmax(jnp.asarray(logits), -1)
+        strings, _ = dec.decode(probs, jnp.asarray(out_lens))
+        return [list(s) for s in strings]
 
     def _make_forward(self):
         stack, geo = self.model, self.geo

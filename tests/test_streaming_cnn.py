@@ -152,6 +152,53 @@ def test_running_se_approximation_smoke():
     assert np.isfinite(st.collected_logits()[0]).all()
 
 
+def test_two_pass_se_streaming_matches_batch_exactly():
+    """se_mode="two_pass": a REAL data-dependent SE stack, streamed, must
+    equal the batch forward after finish() — logits and greedy text (the
+    r4 VERDICT's one documented serving approximation, closed)."""
+    from deepspeech_tpu.decoders import GreedyDecoder
+
+    model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=2)
+    variables = _init(model)
+    y = _audio(seconds=1.7, seed=9)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48, se_mode="two_pass")
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    dec = GreedyDecoder(EN_LABELS)
+    strings, _ = dec.decode_ids(np.argmax(ref, -1)[None], np.asarray([t_out]))
+    assert st.texts[0] == strings[0][0]
+
+
+def test_two_pass_se_jasper_matches_batch_exactly():
+    """Same exactness for the Jasper realization (dilated blocks + SE)."""
+    model = build_cnn_model("cnn_jasper", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=1)
+    variables = _init(model)
+    y = _audio(seconds=1.3, seed=11)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48, se_mode="two_pass")
+    got = st.collected_logits()[0]
+    assert got.shape[0] == t_out
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_two_pass_no_se_stack_stays_single_pass():
+    """two_pass on a stack WITHOUT SE never runs the second pass (the
+    stream is already exact); collected logits come from the stream."""
+    model = build_cnn_model("cnn", 30, cnn_width=32, hidden_size=48,
+                            hidden_layers=1)
+    variables = _init(model)
+    y = _audio(seconds=1.1, seed=12)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48, se_mode="two_pass")
+    assert st._exact is None
+    got = st.collected_logits()[0]
+    np.testing.assert_allclose(got[:t_out], ref, rtol=2e-4, atol=2e-4)
+
+
 def test_se_mode_error_refuses():
     model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
                             hidden_layers=1)

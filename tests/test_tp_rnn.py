@@ -134,6 +134,20 @@ def test_model_auto_engages_under_mesh(mesh):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_model_init_under_mesh_with_tiny_batch(mesh):
+    """model.init traces with batch 1 — not divisible by the data axis;
+    the TP helper must decline rather than crash (regression: shard_map
+    divisibility error during init under an ambient mesh)."""
+    from deepspeech_tpu.models import DeepSpeech2
+
+    model = DeepSpeech2(num_classes=12, hidden_size=16, hidden_layers=1,
+                        cell="gru", bidirectional=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 161, 23)),
+                           jnp.asarray([23]), False)
+    assert "rnn0" in variables["params"]
+
+
 def test_maybe_direction_sharded_falls_back():
     """Outside a 2-wide model mesh (or for unidirectional layers) the
     helper declines and the caller keeps its normal lowering."""

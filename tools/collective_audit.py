@@ -101,9 +101,12 @@ def build_compiled_step(data: int, model: int):
 
     hidden = int(os.environ.get("AUDIT_HIDDEN", 800))
     layers = int(os.environ.get("AUDIT_LAYERS", 6))
-    batch = int(os.environ.get("AUDIT_BATCH", 20))
+    # per-chip batch (the bench config); global batch scales with `data`
+    # like a real DP run, so activation-stat collectives are sized honestly
+    batch = int(os.environ.get("AUDIT_BATCH", 20)) * data
     seconds = float(os.environ.get("AUDIT_SECONDS", 7.5))
-    mesh = make_mesh(data=data, model=model)
+    mesh = make_mesh(data=data, model=model,
+                     devices=jax.devices()[: data * model])
     jax.set_mesh(mesh)
     model_m = DeepSpeech2(num_classes=30, hidden_size=hidden,
                           hidden_layers=layers, cell="gru",
@@ -136,11 +139,33 @@ def build_compiled_step(data: int, model: int):
     return compiled, nparams
 
 
+def dump_top_shapes(txt: str, top: int = 12):
+    """Largest individual collectives (debugging what XLA chose to move)."""
+    op_pat = re.compile(r"\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
+    rows = []
+    for line in txt.splitlines():
+        if "=" not in line:
+            continue
+        m = op_pat.search(line)
+        if m is None or m.group(2) == "-done":
+            continue
+        result = line.split("=", 1)[1][: m.start() - line.index("=") - 1]
+        shapes = re.findall(r"[a-z0-9]+\[[0-9,]*\]", result)
+        rows.append((sum(shape_bytes(s) for s in shapes), m.group(1), shapes))
+    rows.sort(reverse=True)
+    for b, kind, shapes in rows[:top]:
+        print(f"  {b/1e6:8.2f} MB  {kind}  "
+              f"{shapes[:4]}{'...' if len(shapes) > 4 else ''}",
+              file=sys.stderr)
+
+
 def main():
     data = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     model = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     compiled, nparams = build_compiled_step(data, model)
     txt = compiled.as_text()
+    if os.environ.get("AUDIT_DUMP_SHAPES"):
+        dump_top_shapes(txt)
     per = audit_hlo(txt)
     total_bytes = sum(v["bytes"] for v in per.values())
 
