@@ -26,6 +26,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--meta", action="store_true",
                    help="include model/decoder metadata")
     p.add_argument("--norm", default="max_frame")
+    p.add_argument("--se-mode", default="running",
+                   choices=["running", "two_pass", "error"],
+                   help="squeeze-excitation handling for streamed CNN "
+                        "stacks: 'running' = causal running-mean gate "
+                        "(live approximation), 'two_pass' = provisional "
+                        "fragments + an exact batch recompute at end of "
+                        "stream (final JSON equals the batch model "
+                        "exactly), 'error' = refuse SE stacks")
     p.add_argument("--chunk-seconds", default=0.0, type=float,
                    help="stream the audio through the low-latency chunked "
                         "runtime (unidirectional models only; greedy "
@@ -62,7 +70,8 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
                          chunk_seconds, norm="max_frame", channel=-1,
                          echo=None, decoder="greedy", beam_width=16,
                          cutoff_top_n=40, cutoff_prob=1.0, top_paths=1,
-                         lm_path=None, alpha=0.8, beta=1.0):
+                         lm_path=None, alpha=0.8, beta=1.0,
+                         se_mode="running"):
     """Chunked low-latency path (serve/streaming.py): feeds the wav through
     the stateful streaming runtime in ``chunk_seconds`` pieces, reporting
     each incremental greedy fragment via ``echo`` (e.g. stderr) and
@@ -90,10 +99,12 @@ def transcribe_streaming(audio_path, audio_conf, model, state, labels,
     chunk_frames = max(
         4, quantum * max(1, round(chunk_seconds * audio_conf.sample_rate
                                   / audio_conf.hop / quantum)))
+    extra = {"se_mode": se_mode} if cls is CNNStreamingTranscriber else {}
     st = cls(model,
                               {"params": state.params,
                                "batch_stats": state.batch_stats},
                               labels, audio_conf, normalize=norm,
+                              **extra,
                               chunk_frames=chunk_frames,
                               decoder="beam" if decoder in ("beam", "device_beam")
                               else "greedy",
@@ -173,7 +184,7 @@ def main(argv=None) -> int:
             alpha=getattr(args, "alpha", 0.8),
             beta=getattr(args, "beta", 1.0),
             cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
-            top_paths=args.top_paths)
+            top_paths=args.top_paths, se_mode=args.se_mode)
         print(file=sys.stderr)
     else:
         decoded_output, decoded_offsets = transcribe(

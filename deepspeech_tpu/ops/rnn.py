@@ -18,6 +18,8 @@ so torch-trained checkpoints can be ported weight-for-weight.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -152,7 +154,8 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
         # the external-projection kernels when pinning W_ih alongside W_hh
         # would overflow VMEM (very wide H).
         fused = fused_layer_fits(x.shape[2], hidden, gates,
-                                 b + bpad, d, 4 if interp else 2)
+                                 b + bpad, d, 4 if interp else 2) \
+            and not os.environ.get("DEEPSPEECH_TPU_NO_FUSED")
         xks = xk.astype(sdt)
         if not fused:
             # Raw per-direction input projections, one (T·B, F)x(F, G·H)

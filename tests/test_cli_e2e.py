@@ -319,6 +319,15 @@ def test_transcribe_cli_cnn_streaming(trained_cnn):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert "transcription" in out["output"][0]
+    # --se-mode two_pass accepted (exact-at-finish SE handling; a no-op
+    # second pass on this SE-free stack)
+    r = _run("transcribe.py", [
+        "--model-path", ckpt, "--audio-path", wav,
+        "--chunk-seconds", "0.3", "--se-mode", "two_pass"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out2["output"][0]["transcription"] == \
+        out["output"][0]["transcription"]
 
 
 @pytest.mark.slow
