@@ -463,3 +463,89 @@ def test_training_numerics_match_torch_trainer(tmp_path):
 
 def dataclasses_replace_opt(state, new_opt_state):
     return state.replace(opt_state=new_opt_state)
+
+
+def test_training_numerics_match_torch_trainer_adam(tmp_path):
+    """The reference's other optimizer branch (train.py:150-152,
+    torch.optim.Adam at default betas/eps): 8 identical steps from the
+    same init must track the torch trainer the same way the SGD test does."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model import _build_torch_replica, _port_to_flax
+
+    from deepspeech_tpu.models import DeepSpeech2
+    from deepspeech_tpu.train.optim import build_optimizer
+    from deepspeech_tpu.train.step import StepConfig, TrainState, \
+        make_train_step
+
+    hidden, layers, classes = 24, 2, 10
+    b, t = 3, 33
+    lr, max_norm, n_steps = 1e-3, 0.5, 8
+
+    mods = _build_torch_replica(hidden, layers, classes, seed=8)
+    conv1, bn1, conv2, bn2, rnns, bns, fc_bn, fc = mods
+    params_t = [p for m in [conv1, bn1, conv2, bn2, fc_bn, fc] + rnns
+                + [m for m in bns if m is not None] for p in m.parameters()]
+    opt_t = torch.optim.Adam(params_t, lr=lr)
+
+    model = DeepSpeech2(num_classes=classes, hidden_size=hidden,
+                        hidden_layers=layers, cell="gru", bidirectional=True)
+    rng = np.random.default_rng(21)
+    x0 = rng.standard_normal((b, 161, t)).astype(np.float32) * 0.4
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x0),
+                           jnp.asarray([t] * b), False)
+    variables = _port_to_flax(mods, variables)
+    deep = lambda tr: jax.tree.map(  # noqa: E731
+        lambda a: jnp.array(a, copy=True), tr)
+    tx = build_optimizer("adam", lr=lr, max_norm=max_norm)
+    state = TrainState.create(
+        {"params": deep(variables["params"]),
+         "batch_stats": deep(variables["batch_stats"])}, tx)
+    step_fn = make_train_step(
+        model, tx, StepConfig(from_audio=False, max_frame_jitter=False),
+        donate=False)
+
+    lengths = [33, 27, 21]
+    losses_t, losses_j = [], []
+    for i in range(n_steps):
+        x = rng.standard_normal((b, 161, t)).astype(np.float32) * 0.4
+        for j, L in enumerate(lengths):
+            x[j, :, L:] = 0
+        tls = rng.integers(4, 9, size=b)
+        tgt = [rng.integers(1, classes, size=n).astype(np.int64) for n in tls]
+        loss_t, _ = _torch_train_step(
+            mods, opt_t, torch.from_numpy(x), lengths,
+            torch.from_numpy(np.concatenate(tgt)),
+            torch.tensor([int(n) for n in tls]), max_norm)
+        tgt_pad = np.zeros((b, 8), np.int32)
+        for j, g in enumerate(tgt):
+            tgt_pad[j, : len(g)] = g
+        batch = {"spect": jnp.asarray(x),
+                 "spect_lengths": jnp.asarray(lengths),
+                 "targets": jnp.asarray(tgt_pad),
+                 "target_lengths": jnp.asarray(tls.astype(np.int32))}
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(300 + i))
+        assert not bool(metrics["step_skipped"])
+        losses_t.append(loss_t)
+        losses_j.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=3e-3, atol=3e-3)
+    final_t = _port_to_flax(mods, {
+        "params": jax.tree.map(np.copy, jax.device_get(state.params)),
+        "batch_stats": jax.tree.map(np.copy,
+                                    jax.device_get(state.batch_stats))})
+    flat_j = jax.tree_util.tree_flatten_with_path(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})[0]
+    flat_t = jax.tree_util.tree_flatten_with_path(final_t)[0]
+    # Params track tightly; the BN RUNNING stats are noisier — Adam's
+    # sqrt-normalized updates amplify tiny f32 path divergence into the
+    # conv activations whose batch statistics the running buffers average
+    # (measured: params <= 1.4e-3, bn stats <= 8e-3 over 8 steps)
+    for (kp_j, v_j), (kp_t, v_t) in zip(flat_j, flat_t):
+        key = jax.tree_util.keystr(kp_j)
+        atol = 2e-2 if "batch_stats" in key else 6e-3
+        np.testing.assert_allclose(
+            np.asarray(v_j), np.asarray(v_t), rtol=1e-2, atol=atol,
+            err_msg=key)
