@@ -36,6 +36,7 @@ Replaces the cuDNN (bi)RNN layer role (reference model.py:82-109).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,14 @@ from deepspeech_tpu.ops.pallas.rnn_kernel import (
 )
 
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+# Experiment flag: stream the per-timestep h outputs as bf16 instead of
+# f32 (state in VMEM stays f32; only the HBM copies round). Saves
+# ~45 MB/layer of fwd-write + bwd-read traffic; numerics cost is one
+# rounding on the layer output (which the next layer's bf16 cast applies
+# anyway) and on the backward's h_prev reads (whose dW consumer is
+# already bf16). Default chosen by on-chip A/B — see PERF.md.
+_H_BF16 = os.environ.get("DEEPSPEECH_TPU_H_STREAM", "f32") == "bf16"
 
 
 def fused_layer_fits(f_in: int, hidden: int, gates: int, batch: int,
@@ -157,7 +166,7 @@ def _gru_fused_fwd_kernel(chunk, nblocks, bidir, with_res, *refs):
                 + bh_ref[0][None, :]
             h_new, r, z, n, hn = gates(xg, hp, h_prev, None)
             state[0] = h_new
-            h_f[j] = h_new
+            h_f[j] = h_new.astype(h_f.dtype)
             if with_res:
                 stash(g_f, hn_f, j, r, z, n, hn)
             continue
@@ -175,12 +184,12 @@ def _gru_fused_fwd_kernel(chunk, nblocks, bidir, with_res, *refs):
         keep_b = (lens_ref[:, :] > t_b).astype(jnp.float32)  # (B, 1)
         h_new, r, z, n, hn = gates(xg_f, hp_f, hf_prev, None)
         state[0] = h_new
-        h_f[j] = h_new
+        h_f[j] = h_new.astype(h_f.dtype)
         if with_res:
             stash(g_f, hn_f, j, r, z, n, hn)
         h_new, r, z, n, hn = gates(xg_b, hp_b, hb_prev, keep_b)
         state[1] = h_new
-        h_b[jj] = h_new
+        h_b[jj] = h_new.astype(h_b.dtype)
         if with_res:
             stash(g_b, hn_b, jj, r, z, n, hn)
 
@@ -199,6 +208,7 @@ def _gru_fused_fwd(x, w_ih, b_ih, w_hh, b_hh, lens, interpret, with_res):
 
     xdt = x.dtype
     wdt = xdt if xdt == jnp.float32 else jnp.bfloat16
+    hdt = jnp.bfloat16 if (_H_BF16 and xdt != jnp.float32) else jnp.float32
     in_specs = [pl.BlockSpec((chunk, b, f_in), fwd)]
     ops = [x]
     if bidir:
@@ -218,7 +228,7 @@ def _gru_fused_fwd(x, w_ih, b_ih, w_hh, b_hh, lens, interpret, with_res):
         in_specs.append(pl.BlockSpec((b, 1), lambda i: (0, 0)))
         ops.append(lens.astype(jnp.float32))
 
-    h_sds = jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32)
+    h_sds = jax.ShapeDtypeStruct((tp, b, hidden), hdt)
     out_shape = [h_sds] * ndir
     out_specs = [pl.BlockSpec((chunk, b, hidden), fwd)]
     if bidir:
@@ -398,7 +408,7 @@ def _lstm_fused_fwd_kernel(chunk, nblocks, bidir, with_res, *refs):
 
     for j in range(chunk):
         h_new, c_new, i, f, g, o = step(0, j, None)
-        h_f[j] = h_new
+        h_f[j] = h_new.astype(h_f.dtype)
         c_f[j] = c_new
         if with_res:
             stash(g_f, j, i, f, g, o)
@@ -407,7 +417,7 @@ def _lstm_fused_fwd_kernel(chunk, nblocks, bidir, with_res, *refs):
             t_b = ((nblocks - 1 - blk) * chunk + jj).astype(jnp.float32)
             keep = (lens_ref[:, :] > t_b).astype(jnp.float32)
             h_new, c_new, i, f, g, o = step(1, jj, keep)
-            h_b[jj] = h_new
+            h_b[jj] = h_new.astype(h_b.dtype)
             c_b[jj] = c_new
             if with_res:
                 stash(g_b, jj, i, f, g, o)
@@ -425,6 +435,7 @@ def _lstm_fused_fwd(x, w_ih, b_ih, w_hh, b_hh, lens, interpret, with_res):
 
     xdt = x.dtype
     wdt = xdt if xdt == jnp.float32 else jnp.bfloat16
+    hdt = jnp.bfloat16 if (_H_BF16 and xdt != jnp.float32) else jnp.float32
     in_specs = [pl.BlockSpec((chunk, b, f_in), fwd)]
     ops = [x]
     if bidir:
@@ -442,14 +453,15 @@ def _lstm_fused_fwd(x, w_ih, b_ih, w_hh, b_hh, lens, interpret, with_res):
         in_specs.append(pl.BlockSpec((b, 1), lambda i: (0, 0)))
         ops.append(lens.astype(jnp.float32))
 
-    h_sds = jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32)
+    h_sds = jax.ShapeDtypeStruct((tp, b, hidden), hdt)
+    c_sds = jax.ShapeDtypeStruct((tp, b, hidden), jnp.float32)
     h_spec_f = pl.BlockSpec((chunk, b, hidden), fwd)
     h_spec_r = pl.BlockSpec((chunk, b, hidden), rev)
     if bidir:
-        out_shape = [h_sds, h_sds, h_sds, h_sds]
+        out_shape = [h_sds, c_sds, h_sds, c_sds]
         out_specs = [h_spec_f, h_spec_f, h_spec_r, h_spec_r]
     else:
-        out_shape = [h_sds, h_sds]
+        out_shape = [h_sds, c_sds]
         out_specs = [h_spec_f, h_spec_f]
     if with_res:
         g_sds = jax.ShapeDtypeStruct((tp, b, gh), xdt)

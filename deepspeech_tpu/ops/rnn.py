@@ -182,8 +182,11 @@ def rnn_scan(x: jnp.ndarray, lengths: jnp.ndarray, w_ih: jnp.ndarray,
                               interp)
             h_f, h_b = h_f[:, :b], h_b[:, :b]
             if sum_directions:  # reference model.py:106-107 sums directions
-                return (h_f + h_b) * mask
-            return jnp.concatenate([h_f, h_b], axis=-1) * mask
+                # f32 sum regardless of the kernels' h stream dtype
+                return (h_f.astype(jnp.float32)
+                        + h_b.astype(jnp.float32)) * mask
+            return jnp.concatenate([h_f, h_b], axis=-1).astype(
+                jnp.float32) * mask
         if fused:
             fn = gru_layer_pallas if cell == "gru" else lstm_layer_pallas
             return fn(xks, w_ih.astype(sdt), b_ih32, w_hh32, b_hh32,
