@@ -63,16 +63,25 @@ def shape_bytes(shape_str: str) -> int:
     return n * _DTYPE_BYTES.get(dt, 4)
 
 
-def audit_hlo(txt: str) -> dict:
-    """Per-collective-kind (count, bytes) from compiled HLO text.
+def audit_hlo(txt: str, n_devices: int = 8) -> dict:
+    """Per-collective-kind (count, payload bytes, per-chip wire bytes)
+    from compiled HLO text.
 
     Handles variadic collectives whose result is a TUPLE of shapes
     (one fused all-reduce over many grad tensors) by summing every
     element; `-done` halves of async pairs are skipped so split
-    start/done ops are not double counted."""
-    out = {k: {"count": 0, "bytes": 0} for k in _COLLECTIVES}
+    start/done ops are not double counted.
+
+    Wire pricing is per op, per its OWN replica-group size g (parsed from
+    ``replica_groups=``, so a model-axis psum over pairs is priced over 2
+    chips, not the whole mesh): ring all-reduce moves 2(g-1)/g x payload
+    per chip; all-gather / reduce-scatter (g-1)/g; permute/all-to-all 1x.
+    """
+    out = {k: {"count": 0, "bytes": 0, "wire_bytes": 0}
+           for k in _COLLECTIVES}
     # one op per line:  %ar = (f32[800,2400]{1,0}, ...) all-reduce(...)
     op_pat = re.compile(r"\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
+    grp_pat = re.compile(r"replica_groups=\{?\{([0-9,]+)\}")
     for line in txt.splitlines():
         if "=" not in line:
             continue
@@ -81,10 +90,22 @@ def audit_hlo(txt: str) -> dict:
             continue
         kind = m.group(1)
         result = line.split("=", 1)[1][: m.start() - line.index("=") - 1]
-        out[kind]["count"] += 1
-        out[kind]["bytes"] += sum(
+        payload = sum(
             shape_bytes(s) for s in re.findall(r"[a-z0-9]+\[[0-9,]*\]",
                                                result))
+        g = n_devices
+        gm = grp_pat.search(line)
+        if gm:
+            g = max(1, gm.group(1).count(",") + 1)
+        if kind == "all-reduce":
+            factor = 2 * (g - 1) / g
+        elif kind in ("all-gather", "reduce-scatter"):
+            factor = (g - 1) / g
+        else:
+            factor = 1.0
+        out[kind]["count"] += 1
+        out[kind]["bytes"] += payload
+        out[kind]["wire_bytes"] += int(payload * factor)
     return out
 
 
@@ -166,24 +187,20 @@ def main():
     txt = compiled.as_text()
     if os.environ.get("AUDIT_DUMP_SHAPES"):
         dump_top_shapes(txt)
-    per = audit_hlo(txt)
+    per = audit_hlo(txt, n_devices=data * model)
     total_bytes = sum(v["bytes"] for v in per.values())
+    wire = sum(v["wire_bytes"] for v in per.values())
 
     ici = float(os.environ.get("AUDIT_ICI_GBPS", 45.0)) * 1e9
     step_ms = float(os.environ.get("AUDIT_STEP_MS", 33.2))
-    n = data * model
-    # ring all-reduce per-chip wire traffic: 2(N-1)/N x payload; other
-    # collectives counted at payload bytes (upper-bounding is fine here)
-    ar = per["all-reduce"]["bytes"] * 2 * (n - 1) / max(n, 1)
-    rest = total_bytes - per["all-reduce"]["bytes"]
-    t_comm_ms = (ar + rest) / ici * 1e3
+    t_comm_ms = wire / ici * 1e3
     eff_zero_overlap = step_ms / (step_ms + t_comm_ms)
     print(json.dumps({
         "mesh": {"data": data, "model": model},
         "params": nparams,
         "collectives": per,
         "collective_payload_bytes": total_bytes,
-        "wire_bytes_per_chip_ring": int(ar + rest),
+        "wire_bytes_per_chip_ring": wire,
         "ici_gbps_assumed": ici / 1e9,
         "measured_step_ms": step_ms,
         "t_comm_ms": round(t_comm_ms, 3),
