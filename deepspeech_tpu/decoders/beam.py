@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import multiprocessing
+import os
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
@@ -253,8 +254,7 @@ class BeamCTCDecoder(Decoder):
                 # parallelism needs processes (workers are spawned once and
                 # reused across decode() calls; each rebuilds this decoder —
                 # including its mmap'd LM — from _ctor_kwargs)
-                results = list(self._process_pool().map(
-                    _worker_decode, items))
+                results = self._decode_in_processes(items)
             else:
                 # the native search is a ctypes call, which releases the
                 # GIL for its duration — threads scale here
@@ -263,6 +263,31 @@ class BeamCTCDecoder(Decoder):
         else:
             results = [self._decode_one(x) for x in items]
         return [r[0] for r in results], [r[1] for r in results]
+
+    def _decode_in_processes(self, items):
+        """Spawned-process fan-out with an honest serial fallback.
+
+        ``spawn`` re-imports the parent's ``__main__`` from its file path;
+        from a REPL / ``python -c`` / stdin there is no such file and the
+        workers die at startup (BrokenProcessPool). Detect that up front —
+        and catch the broken-pool case defensively — and run serial
+        instead of failing the decode."""
+        import sys
+        from concurrent.futures.process import BrokenProcessPool
+
+        main = sys.modules.get("__main__")
+        main_file = getattr(main, "__file__", None)
+        if main_file is not None and not os.path.exists(main_file):
+            main_file = None
+        if main_file is None and main is not None \
+                and getattr(main, "__spec__", None) is None:
+            # interactive / -c / stdin parent: spawn cannot bootstrap
+            return [self._decode_one(x) for x in items]
+        try:
+            return list(self._process_pool().map(_worker_decode, items))
+        except BrokenProcessPool:
+            self.close()
+            return [self._decode_one(x) for x in items]
 
     def _process_pool(self) -> ProcessPoolExecutor:
         if self._pool is None:
