@@ -221,11 +221,11 @@ class CNNStreamingTranscriber(StreamingTranscriber):
         logits, out_lens = self._exact
         dec = DeviceBeamCTCDecoder(
             self.labels.labels, beam_width=self.beam_width,
+            cutoff_top_n=self.cutoff_top_n, cutoff_prob=self.cutoff_prob,
             blank_index=self.labels.blank_index,
-            lm_path=None, top_paths=top_paths)
-        if self.lm is not None:
-            dec.lm = self.lm
-            dec.alpha, dec.beta = self.lm_alpha, self.lm_beta
+            lm_path=None, top_paths=top_paths,
+            alpha=self.lm_alpha, beta=self.lm_beta)
+        dec.lm = self.lm  # device tables already loaded by the stream
         probs = jax.nn.softmax(jnp.asarray(logits), -1)
         strings, _ = dec.decode(probs, jnp.asarray(out_lens))
         return [list(s) for s in strings]

@@ -185,6 +185,27 @@ def test_two_pass_se_jasper_matches_batch_exactly():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_two_pass_se_beam_matches_oneshot_beam():
+    """two_pass with decoder="beam": after finish(), beam_texts must equal
+    the one-shot device beam over the batch model's posteriors."""
+    import jax as _jax
+
+    from deepspeech_tpu.decoders import DeviceBeamCTCDecoder
+
+    model = build_cnn_model("cnn_residual", 30, cnn_width=24, hidden_size=32,
+                            hidden_layers=1)
+    variables = _init(model)
+    y = _audio(seconds=1.3, seed=13)
+    ref, t_out = _batch_logits(model, variables, y, AudioConf())
+    st = _stream(model, variables, y, 48, se_mode="two_pass",
+                 decoder="beam", beam_width=6)
+    got = st.beam_texts(top_paths=2)
+    dec = DeviceBeamCTCDecoder(EN_LABELS, beam_width=6, top_paths=2)
+    probs = np.asarray(_jax.nn.softmax(jnp.asarray(ref[None]), -1))
+    want, _ = dec.decode(probs, np.asarray([t_out]))
+    assert got[0] == list(want[0])
+
+
 def test_two_pass_no_se_stack_stays_single_pass():
     """two_pass on a stack WITHOUT SE never runs the second pass (the
     stream is already exact); collected logits come from the stream."""
